@@ -1,0 +1,142 @@
+"""Unit tests for the native similarity kernels (SURVEY.md §5: the missing
+unit layer — kernel-level tests against hand-computed cases and slow
+pure-Python oracles)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nmalign_spark.kernel.lev import (
+    ScoreAlignment,
+    cdist_levenshtein,
+    cdist_partial_ratio,
+    indel_distance,
+    indel_normalized_similarity,
+    levenshtein_distance,
+    normalized_similarity,
+    partial_ratio,
+    partial_ratio_alignment,
+)
+
+ALPHA = "abſcd ä"  # small alphabet incl. space + non-ASCII
+texts = st.text(alphabet=ALPHA, max_size=24)
+
+
+# --- scalar oracles: hand-computed cases ---------------------------------
+
+@pytest.mark.parametrize("a,b,d", [
+    ("", "", 0),
+    ("abc", "", 3),
+    ("", "abc", 3),
+    ("kitten", "sitting", 3),
+    ("flaw", "lawn", 2),
+    ("abc", "abc", 0),
+    ("ſase", "sase", 1),
+])
+def test_lev_scalar(a, b, d):
+    assert levenshtein_distance(a, b) == d
+
+
+@pytest.mark.parametrize("a,b,d", [
+    ("", "", 0),
+    ("abc", "", 3),
+    ("kitten", "sitting", 5),   # LCS=4 -> 6+7-8
+    ("abc", "abc", 0),
+    ("ab", "ba", 2),            # substitution costs 2 via indel
+])
+def test_indel_scalar(a, b, d):
+    assert indel_distance(a, b) == d
+
+
+def test_normalized_similarity_contract():
+    assert normalized_similarity("", "") == 1.0
+    assert normalized_similarity("abc", "abc") == 1.0
+    assert normalized_similarity("abc", "abd") == pytest.approx(2 / 3)
+    # cutoff zeroes, does not filter (rapidfuzz contract, align.py:60)
+    assert normalized_similarity("abc", "abd", score_cutoff=0.9) == 0.0
+    assert normalized_similarity("abc", "abd", score_cutoff=0.5) == pytest.approx(2 / 3)
+
+
+# --- batched cdist vs scalar oracle --------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=5), st.lists(texts, min_size=1, max_size=5),
+       st.sampled_from([None, 0.3, 0.7]))
+def test_cdist_matches_scalar(l1, l2, cutoff):
+    m = cdist_levenshtein(l1, l2, score_cutoff=cutoff)
+    assert m.dtype == np.float32
+    assert m.shape == (len(l1), len(l2))
+    for i, a in enumerate(l1):
+        for j, b in enumerate(l2):
+            exp = normalized_similarity(a, b, score_cutoff=cutoff)
+            assert m[i, j] == pytest.approx(exp, abs=1e-6), (a, b)
+
+
+def test_cdist_processor_applied_to_both_sides():
+    # processor affects scoring only (align.py:54-61)
+    m = cdist_levenshtein(["ſa"], ["sa"], processor=lambda s: s.replace("ſ", "s"))
+    assert m[0, 0] == 1.0
+
+
+# --- partial_ratio ---------------------------------------------------------
+
+def _slow_partial_ratio(s1, s2):
+    """Brute-force oracle: same window set, scalar indel similarity."""
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    if not s1 and not s2:
+        return 100.0
+    if not s1 or not s2:
+        return 0.0
+    len1, len2 = len(s1), len(s2)
+    cs = set(s1)
+    wins = []
+    wins += [(0, i) for i in range(1, len1) if s2[i - 1] in cs]
+    wins += [(i, i + len1) for i in range(0, len2 - len1 + 1) if s2[i + len1 - 1] in cs]
+    wins += [(i, len2) for i in range(len2 - len1 + 1, len2) if s2[i] in cs]
+    best = 0.0
+    for st_, en in wins:
+        best = max(best, indel_normalized_similarity(s1, s2[st_:en]))
+    return best * 100.0
+
+
+@pytest.mark.parametrize("s1,s2,exp", [
+    ("abc", "xxabcxx", 100.0),            # exact substring
+    ("abc", "abc", 100.0),
+    ("", "", 100.0),
+    ("", "abc", 0.0),
+    ("abc", "", 0.0),
+])
+def test_partial_ratio_basics(s1, s2, exp):
+    assert partial_ratio(s1, s2) == exp
+
+
+@settings(max_examples=80, deadline=None)
+@given(texts, texts)
+def test_partial_ratio_matches_oracle(s1, s2):
+    assert partial_ratio(s1, s2) == pytest.approx(_slow_partial_ratio(s1, s2), abs=1e-9)
+
+
+def test_partial_ratio_alignment_span():
+    res = partial_ratio_alignment("abc", "xxabcxx")
+    assert isinstance(res, ScoreAlignment)
+    assert res.score == 100.0
+    assert (res.dest_start, res.dest_end) == (2, 5)
+    # earliest maximal window wins (strict-improvement update rule)
+    res2 = partial_ratio_alignment("ab", "abxxab")
+    assert (res2.dest_start, res2.dest_end) == (0, 2)
+
+
+def test_partial_ratio_alignment_swap():
+    # needle longer than haystack: fields swapped back
+    res = partial_ratio_alignment("xxabcxx", "abc")
+    assert res.score == 100.0
+    assert (res.src_start, res.src_end) == (2, 5)
+    assert (res.dest_start, res.dest_end) == (0, 3)
+
+
+def test_cdist_partial_ratio_cutoff():
+    m = cdist_partial_ratio(["abc", "zzz"], ["xxabcxx"], score_cutoff=50)
+    assert m[0, 0] == 100.0
+    assert m[1, 0] == 0.0
