@@ -209,9 +209,10 @@ def cdist_levenshtein(queries: list[str], choices: list[str],
     if processor is not None:
         queries = [processor(s) for s in queries]
         choices = [processor(s) for s in choices]
-    A, l1 = _pad_encode(queries)
-    B, l2 = _pad_encode(choices)
-    dist = _batched_dp(A, l1, B, l2, sub_cost=1).astype(np.float64)
+    from .myers import myers_cdist
+    l1 = np.fromiter((len(s) for s in queries), dtype=np.int64, count=len(queries))
+    l2 = np.fromiter((len(s) for s in choices), dtype=np.int64, count=len(choices))
+    dist = myers_cdist(queries, choices).astype(np.float64)
     denom = np.maximum(np.maximum.outer(l1, l2), 1).astype(np.float64)
     sim = 1.0 - dist / denom
     both_empty = (l1[:, None] == 0) & (l2[None, :] == 0)
