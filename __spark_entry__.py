@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction+alignment job at sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 (plus the training-data ops) for the DuckDB correctness gate.
+Alignment-kernel queries have no ANSI-SQL equivalent (sequential greedy
+assignment, SURVEY.md §2.3 J4) and get the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION  # noqa: E402
+from nmalign_spark.operators import relational  # noqa: E402
+from nmalign_spark.operators.align import align_pages, align_segments  # noqa: E402
+from nmalign_spark.operators.metrics import corpus_metrics, page_metrics  # noqa: E402
+from nmalign_spark.sources.pages import pages_from_documents  # noqa: E402
+from nmalign_spark.sources.segments import segments_from_pages  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize Common-Crawl-style pages from the sf0.001
+    documents, extract candidate segments from html, force-align them against
+    the reference lines, and report per-url alignment metrics."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf_dir)
+    aligned = align_pages(pages, normalization=DEFAULT_NORMALIZATION,
+                          try_subseg=True)
+    return page_metrics(aligned, pages)
+
+
+# --- alignment-family queries (rows-only check: not SQL-expressible) --------
+
+def _q_align_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    return align_pages(pages, normalization=DEFAULT_NORMALIZATION)
+
+
+def _q_align_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    return align_segments(segments_from_pages(pages),
+                          normalization=DEFAULT_NORMALIZATION)
+
+
+def _q_page_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    aligned = align_pages(pages, normalization=DEFAULT_NORMALIZATION)
+    return page_metrics(aligned, pages)
+
+
+def _q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_metrics(_q_page_metrics(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(relational.QUERIES)
+    out.update({
+        "u1_align_pages": _q_align_pages,
+        "u1_align_segments": _q_align_segments,
+        "k3_page_metrics": _q_page_metrics,
+        "k3_corpus_metrics": _q_corpus_metrics,
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(relational.ORACLES)

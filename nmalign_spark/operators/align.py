@@ -1,0 +1,141 @@
+"""The core distributed operator: per-document forced fuzzy alignment.
+
+Spark mapping of SURVEY.md §2.3 J3-J6 + §2.10 U1: the reference's
+``match(l1, l2)`` (align.py:17-166) runs *inside* an Arrow-vectorized kernel,
+one document per group; everything around it is Catalyst-native.
+
+Two entry points:
+
+* :func:`align_pages` — hot path.  Input is the wide pages table (one row per
+  url), so alignment is a **narrow** ``mapInPandas``: scan -> kernel -> rows,
+  zero shuffles.  At 100 TB this is embarrassingly parallel; per-task cost is
+  bounded by ``spark.sql.files.maxPartitionBytes``, and giant pages can be
+  isolated first via :func:`route_skew`.
+* :func:`align_segments` — long-form input (url, side, seq_no, seg_text),
+  e.g. from external segmenters.  Needs one shuffle: ``groupBy(url).
+  applyInPandas``; AQE handles partition coalescing/skew splitting around it.
+
+Output schema (exploded assignment table, SURVEY.md §1.1):
+``(url, i, j, line_no, beg, end, score, seg_text, extracted)`` where ``i``
+indexes candidate segments, ``j`` the *filtered* reference lines (the list
+the kernel saw, matching reference semantics after the empty-line filter
+ocrd/cli.py:219-226), ``line_no`` the original line in ``text``, ``beg/end``
+the sub-span when split (−1/−1 whole line, align.py:68-74), and ``extracted``
+is ``l2[j][beg:end]`` — the byte-identical extraction target
+(scripts/cli.py:103-106; ocrd/cli.py:260-263).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..kernel.assign import match
+from ..sources.segments import extract_segments, reference_lines
+
+__all__ = ["ALIGN_SCHEMA", "align_pages", "align_segments", "route_skew",
+           "align_lists_rows"]
+
+ALIGN_SCHEMA = ("url string, i int, j int, line_no int, beg int, end int, "
+                "score double, seg_text string, extracted string")
+_COLS = ["url", "i", "j", "line_no", "beg", "end", "score", "seg_text", "extracted"]
+
+
+def align_lists_rows(url: str, l1: list[str], l2: list[str], line_nos: list[int],
+                     normalization=None, cutoff=None, try_subseg=True) -> list[tuple]:
+    """Run the kernel on one document's lists and explode to output rows."""
+    rows: list[tuple] = []
+    if not l1 or not l2:
+        for i, seg in enumerate(l1):
+            rows.append((url, i, -1, -1, -1, -1, 0.0, seg, None))
+        return rows
+    result, scores = match(l1, l2, normalization=normalization,
+                           cutoff=cutoff, try_subseg=try_subseg)
+    if try_subseg:
+        idx, beg, end = result
+    else:
+        idx = result
+        beg = end = np.full_like(idx, -1)
+    for i, seg in enumerate(l1):
+        j = int(idx[i])
+        b, e = int(beg[i]), int(end[i])
+        if j < 0:
+            rows.append((url, i, -1, -1, -1, -1, 0.0, seg, None))
+            continue
+        line = l2[j]
+        extracted = line[b:e] if b >= 0 else line
+        rows.append((url, i, j, int(line_nos[j]), b, e, float(scores[i]),
+                     seg, extracted))
+    return rows
+
+
+def _make_pages_kernel(normalization, cutoff, try_subseg):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, html_b, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                l1 = extract_segments(html_b)
+                l2, line_nos = reference_lines(text)
+                rows.extend(align_lists_rows(url, l1, l2, line_nos,
+                                             normalization, cutoff, try_subseg))
+            yield pd.DataFrame(rows, columns=_COLS)
+    return kernel
+
+
+def align_pages(pages_df, normalization=None, cutoff=None, try_subseg=True):
+    """pages (url, warc_ts, html, text, lang) -> alignment table.
+
+    Narrow plan: the projection to (url, html, text) is pushed into the scan
+    (column pruning), the kernel is one ``mapInPandas``, no shuffle.
+    """
+    return pages_df.select("url", "html", "text").mapInPandas(
+        _make_pages_kernel(normalization, cutoff, try_subseg),
+        schema=ALIGN_SCHEMA)
+
+
+def _make_segments_kernel(normalization, cutoff, try_subseg):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        p1 = pdf[pdf["side"] == 1].sort_values("seq_no")
+        p2 = pdf[pdf["side"] == 2].sort_values("seq_no")
+        l1 = p1["seg_text"].tolist()
+        raw2 = p2["seg_text"].tolist()
+        # empty-line filter with index bookkeeping (ocrd/cli.py:219-226)
+        l2, line_nos = [], []
+        for no, line in zip(p2["seq_no"].tolist(), raw2):
+            if line and line.strip():
+                l2.append(line)
+                line_nos.append(no)
+        rows = align_lists_rows(url, l1, l2, line_nos,
+                                normalization, cutoff, try_subseg)
+        return pd.DataFrame(rows, columns=_COLS)
+    return kernel
+
+
+def align_segments(segments_df, normalization=None, cutoff=None, try_subseg=True):
+    """Long-form segments (url, side, seq_no, seg_text) -> alignment table.
+
+    One hash shuffle on url; the kernel is a grouped-map Arrow UDF.  Enable
+    AQE so skewed url groups get their shuffle partitions split.
+    """
+    return segments_df.groupBy("url").applyInPandas(
+        _make_segments_kernel(normalization, cutoff, try_subseg),
+        schema=ALIGN_SCHEMA)
+
+
+def route_skew(pages_df, giant_chars: int = 20_000, giant_parts: int = 64):
+    """Split pages into (normal, giant) DataFrames by kernel-cost proxy.
+
+    The alignment kernel is O(N·M·L) per url (SURVEY.md §4 custom-work #1):
+    one giant page can dominate a task.  Cost proxy = length(text) (N·M grows
+    quadratically with it, so a char threshold is a stable cost threshold).
+    Callers union the two aligned outputs; the giant branch gets spread
+    round-robin over ``giant_parts`` partitions so each giant lands alone.
+    """
+    cost = F.length(F.col("text"))
+    normal = pages_df.where(cost < giant_chars)
+    giants = pages_df.where(cost >= giant_chars).repartition(giant_parts)
+    return normal, giants

@@ -1,0 +1,72 @@
+"""Mirror of the driver's correctness gate: run each __spark_entry__ query
+and its DuckDB oracle at sf0.01, compare row count, schema names, and sorted
+values (float tolerance)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_mid):
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf_mid}/{name}.parquet')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows(cols, data):
+    idx = sorted(range(len(cols)), key=lambda k: cols[k])
+    return sorted(tuple(_norm(r[k]) for k in idx) for r in data)
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_mid, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf_mid)
+    scols = sdf.columns
+    sdata = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    ddata = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(sdata) == len(ddata), f"{name}: row count {len(sdata)} != {len(ddata)}"
+    srows = _rows(scols, sdata)
+    drows = _rows(dcols, ddata)
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        assert a == b, f"{name}: row {i} differs: {a} != {b}"
+
+
+def test_all_queries_have_callable_entries(spark):
+    qs = entry_mod.queries()
+    assert len(qs) >= 10
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.columns  # stable schema
+    assert df.count() >= 0
