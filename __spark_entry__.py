@@ -20,7 +20,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION  # noqa: E402
-from nmalign_spark.operators import relational  # noqa: E402
+from nmalign_spark.operators import dedup, relational, similarity, textstats  # noqa: E402
 from nmalign_spark.operators.align import align_pages, align_segments  # noqa: E402
 from nmalign_spark.operators.metrics import corpus_metrics, page_metrics  # noqa: E402
 from nmalign_spark.sources.pages import pages_from_documents  # noqa: E402
@@ -63,6 +63,9 @@ def _q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(relational.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(textstats.QUERIES)
     out.update({
         "u1_align_pages": _q_align_pages,
         "u1_align_segments": _q_align_segments,
@@ -73,4 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(relational.ORACLES)
+    out = dict(relational.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(textstats.ORACLES)
+    return out

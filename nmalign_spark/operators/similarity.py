@@ -1,0 +1,192 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two paths (task mandate):
+
+* :func:`brute_force_topk` — exact cosine top-k, all JVM-side
+  (``zip_with`` + ``aggregate``: no Python, no UDF).  The baseline; at scale
+  the candidate side is partition-pruned / bucketed.
+* :func:`lsh_bucketed_topk` — random-hyperplane LSH: 8 sign bits from
+  md5-derived pseudo-random planes (engine-portable, so the DuckDB oracle
+  reproduces the exact buckets), candidates share a bucket, then exact
+  re-ranking inside buckets.  The scale path: the cross product shrinks from
+  |Q|×|C| to per-bucket blocks.
+* :func:`embedding_cosine_dups` — near-duplicate pairs by cosine >= 0.95.
+
+Determinism note: cosine sums are floating point; Spark and DuckDB both
+accumulate left-to-right over the array (``aggregate`` / list_* built-ins),
+and values are rounded to 6 decimals in both engines before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .relational import t
+
+__all__ = ["brute_force_topk", "lsh_bucketed_topk", "embedding_cosine_dups",
+           "QUERIES", "ORACLES"]
+
+N_QUERIES = 10      # vec_id < 10 are the query vectors
+TOP_K = 3
+N_PLANES = 8
+DUP_COS = 0.95
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _emb(spark, sf_dir):
+    """embeddings with the vector cast to array<double> — matches the
+    oracle's CAST(... AS DOUBLE[]) so both engines accumulate in f64."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+
+
+def brute_force_topk(spark, sf_dir):
+    """Exact top-3 cosine neighbors for each query vector (vec_id < 10)
+    among the rest; deterministic tie-break on neighbor id."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.where(F.col("vec_id") >= N_QUERIES) \
+        .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    scored = (q.crossJoin(F.broadcast(c))
+              .select("qid", "nid",
+                      F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("qid", "nid", "cos", "rank"))
+
+
+ORACLE_TOPK = f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embd WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS nid, embedding AS nv FROM embd WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT qid, nid,
+         ROUND(list_dot_product(qv, nv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cos
+  FROM q, c),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _plane_component():
+    """Pseudo-random plane component in [-7.5, 7.5]:
+    nibble(md5(p || '_' || d)) - 7.5 — identical in Spark and DuckDB."""
+    return F.expr("locate(substr(md5(concat(cast(p as string), '_', "
+                  "cast(d as string))), 1, 1), '0123456789abcdef') - 8.5")
+
+
+def lsh_bucketed_topk(spark, sf_dir):
+    """Random-hyperplane LSH bucket key per vector, then exact top-3 within
+    buckets (query and neighbor must share the 8-bit sign bucket)."""
+    emb = _emb(spark, sf_dir)
+    comp = (emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+            .crossJoin(spark.range(N_PLANES).select(F.col("id").alias("p")))
+            .withColumn("w", _plane_component()))
+    proj = (comp.groupBy("vec_id", "p")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("proj")))
+    bucket = (proj.withColumn("bit", (F.col("proj") > 0).cast("long"))
+              .groupBy("vec_id")
+              .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long"))
+                   .alias("bucket")))
+    eb = emb.join(bucket, "vec_id")
+    q = eb.where(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket")
+    c = eb.where(F.col("vec_id") >= N_QUERIES) \
+        .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "bucket")
+    scored = (q.join(c, "bucket")
+              .select("qid", "nid",
+                      F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("qid", "nid", "cos", "rank"))
+
+
+ORACLE_LSH = f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+comp AS (
+  SELECT vec_id, p, d, x,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 8.5) AS w
+  FROM (SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding) AS x
+        FROM embd),
+       UNNEST(range(0, {N_PLANES})) AS pp(p)),
+proj AS (SELECT vec_id, p, SUM(x * w) AS proj FROM comp GROUP BY vec_id, p),
+bucket AS (
+  SELECT vec_id,
+         SUM(CASE WHEN proj > 0 THEN CAST(POW(2.0, p) AS BIGINT) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id),
+eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embd e JOIN bucket b ON e.vec_id = b.vec_id),
+q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM eb WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS nid, embedding AS nv, bucket FROM eb WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT qid, nid,
+         ROUND(list_dot_product(qv, nv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_cosine_dups(spark, sf_dir):
+    """Near-duplicate vector pairs: cosine >= 0.95, brute force with id1<id2.
+    (At 100 TB this runs per LSH bucket; here the exact form is the oracle.)"""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2",
+                    F.round(_cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+            .where(F.col("cos") >= DUP_COS))
+
+
+ORACLE_COS_DUPS = f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos
+FROM embd a JOIN embd b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) /
+      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       sqrt(list_dot_product(b.embedding, b.embedding))) >= {DUP_COS}
+"""
+
+
+QUERIES = {
+    "sim_topk_cosine": brute_force_topk,
+    "sim_lsh_topk": lsh_bucketed_topk,
+    "sim_cosine_dups": embedding_cosine_dups,
+}
+
+ORACLES = {
+    "sim_topk_cosine": ORACLE_TOPK,
+    "sim_lsh_topk": ORACLE_LSH,
+    "sim_cosine_dups": ORACLE_COS_DUPS,
+}

@@ -1,0 +1,160 @@
+"""Text-analysis operators for training-data curation (task mandate):
+language ID heuristic, quality scoring, token counting, document
+fingerprinting — all Catalyst built-ins (whole-stage codegen, no UDFs),
+each with a DuckDB oracle.
+
+Regex patterns are kept to the syntax subset with identical semantics in
+Java regex (Spark) and RE2 (DuckDB): literal classes, alternation, no
+lookaround, no inline flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .relational import t
+
+__all__ = ["token_counts", "quality_scores", "lang_id", "fingerprints",
+           "QUERIES", "ORACLES"]
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_STOP = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def token_counts(spark, sf_dir):
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+    return d.select("doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+
+
+ORACLE_TOKENS = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x != '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def quality_scores(spark, sf_dir):
+    """Length / punctuation / stopword heuriatics -> quality score in [0,1]."""
+    d = t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_toks = F.size(toks)
+    avg_tok = n_chars / F.greatest(n_toks, F.lit(1))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop = _STOP["en"]
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(stop)))
+    stop_ratio = n_stop / F.greatest(n_toks, F.lit(1))
+    quality = (F.when(n_toks < 5, 0.0)
+               .when(avg_tok > 15, 0.2)
+               .otherwise(
+                   F.least(F.lit(1.0),
+                           F.lit(0.5) + stop_ratio * 2 - punct_ratio * 3)))
+    return d.select("doc_id",
+                    n_chars.alias("n_chars_calc"),
+                    n_toks.alias("n_tokens"),
+                    F.round(avg_tok, 6).alias("avg_token_len"),
+                    F.round(punct_ratio, 6).alias("punct_ratio"),
+                    F.round(stop_ratio, 6).alias("stop_ratio"),
+                    F.round(quality, 6).alias("quality"))
+
+
+_STOP_SQL = "('" + "','".join(_STOP["en"]) + "')"
+
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars_calc,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+         len(list_filter(string_split(text, ' '), x -> lower(x) IN {_STOP_SQL})) AS n_stop
+  FROM documents)
+SELECT doc_id, n_chars_calc, n_tokens,
+       ROUND(n_chars_calc * 1.0 / GREATEST(n_tokens, 1), 6) AS avg_token_len,
+       ROUND(n_punct * 1.0 / GREATEST(n_chars_calc, 1), 6) AS punct_ratio,
+       ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 6) AS stop_ratio,
+       ROUND(CASE WHEN n_tokens < 5 THEN 0.0
+                  WHEN n_chars_calc * 1.0 / GREATEST(n_tokens, 1) > 15 THEN 0.2
+                  ELSE LEAST(1.0, 0.5 + (n_stop * 1.0 / GREATEST(n_tokens, 1)) * 2
+                                  - (n_punct * 1.0 / GREATEST(n_chars_calc, 1)) * 3)
+             END, 6) AS quality
+FROM base
+"""
+
+
+def lang_id(spark, sf_dir):
+    """Stopword-vote language guess (n-gram-free heuristic; deterministic)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    def _vote(lg):
+        words = _STOP[lg]
+        return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+    votes = {lg: _vote(lg) for lg in _STOP}
+    guess = (F.when((votes["en"] >= votes["de"]) & (votes["en"] >= votes["fr"]), "en")
+             .when(votes["de"] >= votes["fr"], "de")
+             .otherwise("fr"))
+    return d.select("doc_id",
+                    votes["en"].alias("v_en"), votes["de"].alias("v_de"),
+                    votes["fr"].alias("v_fr"), guess.alias("lang_guess"))
+
+
+def _vote_sql(lg):
+    words = "('" + "','".join(_STOP[lg]) + "')"
+    return f"len(list_filter(string_split(lower(text), ' '), x -> x IN {words}))"
+
+
+ORACLE_LANGID = f"""
+SELECT doc_id,
+       {_vote_sql('en')} AS v_en,
+       {_vote_sql('de')} AS v_de,
+       {_vote_sql('fr')} AS v_fr,
+       CASE WHEN {_vote_sql('en')} >= {_vote_sql('de')}
+             AND {_vote_sql('en')} >= {_vote_sql('fr')} THEN 'en'
+            WHEN {_vote_sql('de')} >= {_vote_sql('fr')} THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM documents
+"""
+
+
+def fingerprints(spark, sf_dir):
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (rolling-hash analog; robust to shuffling/reflow)."""
+    d = t(spark, sf_dir, "documents")
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))), " ")
+    return d.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), x -> x != ''))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_counts": token_counts,
+    "text_quality": quality_scores,
+    "text_langid": lang_id,
+    "text_fingerprint": fingerprints,
+}
+
+ORACLES = {
+    "text_token_counts": ORACLE_TOKENS,
+    "text_quality": ORACLE_QUALITY,
+    "text_langid": ORACLE_LANGID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}
