@@ -72,28 +72,46 @@ def align_lists_rows(url: str, l1: list[str], l2: list[str], line_nos: list[int]
     return rows
 
 
-def _make_pages_kernel(normalization, cutoff, try_subseg):
+def _make_pages_kernel(normalization, cutoff, try_subseg, passthrough=()):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
-            for url, html_b, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            extras = [pdf[c] for c in passthrough]
+            for k, (url, html_b, text) in enumerate(
+                    zip(pdf["url"], pdf["html"], pdf["text"])):
                 l1 = extract_segments(html_b)
                 l2, line_nos = reference_lines(text)
-                rows.extend(align_lists_rows(url, l1, l2, line_nos,
-                                             normalization, cutoff, try_subseg))
-            yield pd.DataFrame(rows, columns=_COLS)
+                page_rows = align_lists_rows(url, l1, l2, line_nos,
+                                             normalization, cutoff, try_subseg)
+                if passthrough:
+                    tail = tuple(col.iloc[k] for col in extras)
+                    page_rows = [r + tail for r in page_rows]
+                rows.extend(page_rows)
+            yield pd.DataFrame(rows, columns=_COLS + list(passthrough))
     return kernel
 
 
-def align_pages(pages_df, normalization=None, cutoff=None, try_subseg=True):
+def align_pages(pages_df, normalization=None, cutoff=None, try_subseg=True,
+                passthrough=()):
     """pages (url, warc_ts, html, text, lang) -> alignment table.
 
     Narrow plan: the projection to (url, html, text) is pushed into the scan
     (column pruning), the kernel is one ``mapInPandas``, no shuffle.
+
+    ``passthrough`` names extra pages columns copied onto every output row
+    (e.g. warc_ts/lang for partitioned writes) — carrying them through the
+    kernel costs nothing and avoids a full-table join-back shuffle later.
     """
-    return pages_df.select("url", "html", "text").mapInPandas(
-        _make_pages_kernel(normalization, cutoff, try_subseg),
-        schema=ALIGN_SCHEMA)
+    passthrough = tuple(passthrough)
+    schema = ALIGN_SCHEMA
+    if passthrough:
+        by_name = {f.name: f for f in pages_df.schema.fields}
+        extra = ", ".join(f"{c} {by_name[c].dataType.simpleString()}"
+                          for c in passthrough)
+        schema = ALIGN_SCHEMA + ", " + extra
+    return pages_df.select("url", "html", "text", *passthrough).mapInPandas(
+        _make_pages_kernel(normalization, cutoff, try_subseg, passthrough),
+        schema=schema)
 
 
 def _make_segments_kernel(normalization, cutoff, try_subseg):
