@@ -252,7 +252,8 @@ bits AS (
 docbits AS (
   SELECT doc_id, b, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
   FROM bits GROUP BY doc_id, b)
-SELECT doc_id, SUM(bit * CAST(POW(2.0, b) AS BIGINT)) AS simhash16
+SELECT doc_id,
+       CAST(SUM(bit * CAST(POW(2.0, b) AS BIGINT)) AS BIGINT) AS simhash16
 FROM docbits GROUP BY doc_id
 """
 
