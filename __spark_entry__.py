@@ -20,7 +20,8 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION  # noqa: E402
-from nmalign_spark.operators import dedup, relational, similarity, textstats  # noqa: E402
+from nmalign_spark.operators import (dedup, multimodal, relational,  # noqa: E402
+                                     similarity, textstats)
 from nmalign_spark.operators.align import align_pages, align_segments  # noqa: E402
 from nmalign_spark.operators.metrics import corpus_metrics, page_metrics  # noqa: E402
 from nmalign_spark.sources.pages import pages_from_documents  # noqa: E402
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(multimodal.QUERIES)
     out.update({
         "u1_align_pages": _q_align_pages,
         "u1_align_segments": _q_align_segments,
@@ -80,4 +82,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
+    out.update(multimodal.ORACLES)
     return out
