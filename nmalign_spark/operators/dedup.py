@@ -134,7 +134,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
     cap) -> pair-count agg -> Jaccard from per-doc shingle counts.
     """
     aug = augmented_docs(spark, sf_dir)
-    sh = _filtered_shingles(aug).cache()
+    return _jaccard_from_shingles(_filtered_shingles(aug).cache())
+
+
+def _jaccard_from_shingles(sh):
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id1"), "shingle")
     b = sh.select(F.col("doc_id").alias("id2"), "shingle")
@@ -168,34 +171,47 @@ WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_MIN}
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_lsh_pairs(spark, sf_dir):
-    """LSH candidates (1-row bands over a K=8 md5-minhash signature),
-    verified with true Jaccard.
+    """LSH candidates (1-row bands over a K=8 minhash signature), verified
+    with true Jaccard.
 
-    The minhash of doc d for hash k is ``min(md5(shingle || ':' || k))`` —
-    a string min, identical in any engine.  Candidate generation is an
-    equi-join on (k, minhash); verification reuses the Jaccard plan.
+    The k-th hash of a shingle is its md5 hex *rotated by 4k characters* —
+    one md5 per shingle total (the expensive part), K cheap string rotations
+    deriving the band orders.  Each rotation is a consistent uniform-ish
+    total order (the leading characters for band k are md5 bytes 2k..),
+    so Pr[minhash_k(A)=minhash_k(B)] ≈ Jaccard per band; bands are only
+    approximately independent, which costs a little recall — acceptable
+    because every candidate is verified with exact Jaccard.  (On a real
+    cluster, swap in ``xxhash64`` + K affine integer mixes; md5-rotation is
+    used here because it is bit-identical in DuckDB for the oracle.)
+
+    The filtered-shingle table is computed ONCE and cached — it feeds both
+    the signature stage and the Jaccard verification, saving the window
+    re-aggregation over the exploded shingles.
     """
     aug = augmented_docs(spark, sf_dir)
-    sh = _filtered_shingles(aug)
+    sh = _filtered_shingles(aug).cache()
     ks = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("k")
-    sig = (sh.select("doc_id", "shingle", ks)
+    sig = (sh.withColumn("h", F.md5("shingle"))
+           .select("doc_id", "h", ks)
            .select("doc_id", "k",
-                   F.md5(F.concat(F.col("shingle"), F.lit(":"),
-                                  F.col("k").cast("string"))).alias("hk"))
+                   F.expr("concat(substr(h, 4*k + 1, 32 - 4*k), "
+                          "substr(h, 1, 4*k))").alias("hk"))
            .groupBy("doc_id", "k").agg(F.min("hk").alias("minhash")))
     a = sig.select(F.col("doc_id").alias("id1"), "k", "minhash")
     b = sig.select(F.col("doc_id").alias("id2"), "k", "minhash")
     cand = (a.join(b, ["k", "minhash"])
             .where(F.col("id1") < F.col("id2"))
             .select("id1", "id2").distinct())
-    verified = ngram_jaccard_pairs(spark, sf_dir)
+    verified = _jaccard_from_shingles(sh)
     return cand.join(verified, ["id1", "id2"], "inner")
 
 
 ORACLE_MINHASH = f"""
 WITH {AUG_SQL}, {FILTERED_SQL},
 sig AS (
-  SELECT doc_id, k, MIN(md5(shingle || ':' || CAST(k AS VARCHAR))) AS minhash
+  SELECT doc_id, k,
+         MIN(substr(md5(shingle), 4*k + 1, 32 - 4*k) ||
+             substr(md5(shingle), 1, 4*k)) AS minhash
   FROM filtered, UNNEST(range(0, {MINHASH_K})) AS kk(k)
   GROUP BY doc_id, k),
 cand AS (

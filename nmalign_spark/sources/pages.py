@@ -145,13 +145,20 @@ def _gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def pages_from_documents(spark, sf_dir: str):
+def pages_from_documents(spark, sf_dir: str, min_parallelism: int | None = None):
     """documents parquet -> pages DataFrame (distributed, deterministic).
 
     Scan prunes to the three needed columns (Catalyst pushes the projection
-    into the parquet reader) and the generator is a narrow ``mapInPandas`` —
-    zero shuffles.
+    into the parquet reader).  The sf* documents tables are single small
+    parquet files, so the scan yields ONE split and everything downstream of
+    this source — including the O(N·M·L) alignment kernel — would run on one
+    core; a real 100 TB crawl table has thousands of splits and never hits
+    this.  For the synthetic source we pay one round-robin shuffle of the
+    (tiny) documents to fan the kernel out to ``defaultParallelism`` tasks.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang")
+    want = min_parallelism or spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
     return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
