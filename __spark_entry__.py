@@ -23,7 +23,9 @@ from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION  # noqa: E40
 from nmalign_spark.operators import (dedup, multimodal, relational,  # noqa: E402
                                      similarity, textstats)
 from nmalign_spark.operators.align import align_pages, align_segments  # noqa: E402
+from nmalign_spark.operators.assemble import assemble_pages  # noqa: E402
 from nmalign_spark.operators.metrics import corpus_metrics, page_metrics  # noqa: E402
+from nmalign_spark.streaming import windows as _stwindows  # noqa: E402
 from nmalign_spark.sources.pages import pages_from_documents  # noqa: E402
 from nmalign_spark.sources.segments import segments_from_pages  # noqa: E402
 
@@ -62,17 +64,23 @@ def _q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_metrics(_q_page_metrics(spark, sf_dir))
 
 
+def _q_assemble_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assemble_pages(_q_align_pages(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(relational.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(_stwindows.QUERIES)
     out.update({
         "u1_align_pages": _q_align_pages,
         "u1_align_segments": _q_align_segments,
         "k3_page_metrics": _q_page_metrics,
         "k3_corpus_metrics": _q_corpus_metrics,
+        "a4_assemble_pages": _q_assemble_pages,
     })
     return out
 
@@ -83,4 +91,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(_stwindows.ORACLES)
     return out

@@ -44,6 +44,20 @@ def _force(df) -> int:
     return df.count()
 
 
+def _warm_python_workers(spark, cpus: int) -> None:
+    """Start one Python worker per core and pre-import the kernel stack.
+
+    Worker fork + numpy/pandas import costs ~5 s once per executor; a real
+    long-running job pays it on the first task wave only, so the bench
+    measures steady-state throughput (JVM warmup is handled separately)."""
+    def _imp(batches):
+        import numpy  # noqa: F401
+        import nmalign_spark.kernel.assign  # noqa: F401
+        yield from batches
+    (spark.range(cpus * 4).repartition(cpus)
+     .mapInPandas(_imp, schema="id long").count())
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
     """Headline query set. Each returns (seconds, rows)."""
     from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION
@@ -75,11 +89,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
     }
     # training-data ops are registered lazily (added in later milestones)
     try:
-        from nmalign_spark.operators import dedup, similarity, textstats
+        from nmalign_spark.operators import dedup, multimodal, similarity, textstats
         queries["dedup_minhash_lsh"] = lambda: dedup.minhash_lsh_pairs(spark, sf_dir)
         queries["dedup_exact"] = lambda: dedup.exact_duplicates(spark, sf_dir)
         queries["sim_topk_cosine"] = lambda: similarity.brute_force_topk(spark, sf_dir)
         queries["text_quality"] = lambda: textstats.quality_scores(spark, sf_dir)
+        queries["mm_media_features"] = lambda: multimodal.media_features(spark, sf_dir)
     except ImportError:
         pass
 
@@ -98,6 +113,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
 def run_full() -> dict:
     spark = make_spark(CPUS)
     spark.range(10).count()  # JVM warmup out of the timings
+    _warm_python_workers(spark, CPUS)
     res = bench_queries(spark, SF_DIR)
     spark.stop()
     n_docs = res.pop("_n_docs")["rows"]
@@ -122,6 +138,7 @@ def run_single(cpus: int, sf_dir: str) -> dict:
     """One alignment throughput measurement at one parallelism level."""
     spark = make_spark(cpus)
     spark.range(10).count()
+    _warm_python_workers(spark, cpus)
     from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION
     from nmalign_spark.operators.align import align_pages
     from nmalign_spark.sources.pages import pages_from_documents

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import DEFAULT_NORMALIZATION
 from ..operators.align import align_pages, route_skew
+from ..operators.assemble import assemble_pages
 
 __all__ = ["ExtractionPipeline"]
 
@@ -88,11 +89,17 @@ class ExtractionPipeline:
                .withColumn("crawl_date", F.to_date("warc_ts"))
                .withColumn("bucket", F.pmod(F.xxhash64("url"),
                                             F.lit(self.n_buckets)).cast("int"))
+               .withColumn("run_id", F.lit(run_id))
                .drop("warc_ts"))
         self._write(out, "aligned", ("crawl_date", "bucket"))
-        # lineage over what was just committed this run
         committed = spark.read.parquet(f"{self.output_dir}/aligned")
-        lineage = (committed.groupBy("crawl_date", "bucket")
+        # A4 roll-up: one assembled text per url.  Assembling from the
+        # read-back of THIS run's rows (run_id filter) costs one columnar
+        # scan instead of re-running the alignment kernel, and keeps resume
+        # append-only (prior runs' urls are already in extracted/).
+        this_run = committed.where(F.col("run_id") == run_id)
+        self._write(assemble_pages(this_run), "extracted")
+        lineage = (this_run.groupBy("crawl_date", "bucket")
                    .agg(F.count(F.lit(1)).alias("n_rows"),
                         F.count_distinct("url").alias("n_pages"),
                         F.sum((F.col("j") >= 0).cast("int")).alias("n_matched"),
