@@ -145,7 +145,8 @@ def _gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def pages_from_documents(spark, sf_dir: str, min_parallelism: int | None = None):
+def pages_from_documents(spark, sf_dir: str, min_parallelism: int | None = None,
+                         replicate: int = 1):
     """documents parquet -> pages DataFrame (distributed, deterministic).
 
     Scan prunes to the three needed columns (Catalyst pushes the projection
@@ -155,9 +156,21 @@ def pages_from_documents(spark, sf_dir: str, min_parallelism: int | None = None)
     core; a real 100 TB crawl table has thousands of splits and never hits
     this.  For the synthetic source we pay one round-robin shuffle of the
     (tiny) documents to fan the kernel out to ``defaultParallelism`` tasks.
+
+    ``replicate`` > 1 scales the corpus for benchmarking: each document is
+    cloned ``replicate`` times with a distinct ``doc_id`` offset, so every
+    replica deterministically synthesizes a *different* page (distinct noise
+    seed, distinct url) — bigger input, no duplicate-work shortcut.
     """
+    from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang")
+    if replicate > 1:
+        docs = docs.crossJoin(
+            spark.range(replicate).select(F.col("id").alias("_rep"))
+        ).withColumn(
+            "doc_id", F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)
+        ).drop("_rep")
     want = min_parallelism or spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < want:
         docs = docs.repartition(want)
