@@ -54,6 +54,17 @@ def _q_align_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                           normalization=DEFAULT_NORMALIZATION)
 
 
+def _q_align_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted alignment (operators/salt.py): giant pages' similarity
+    matrices scored in row chunks across tasks, reassembled, then the
+    sequential assignment runs once — bit-identical to u1_align_pages
+    (tests/test_salt.py proves equality)."""
+    from nmalign_spark.operators.salt import align_pages_salted
+    pages = pages_from_documents(spark, sf_dir)
+    return align_pages_salted(pages, normalization=DEFAULT_NORMALIZATION,
+                              giant_chars=600, chunk_rows=16)
+
+
 def _q_page_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir)
     aligned = align_pages(pages, normalization=DEFAULT_NORMALIZATION)
@@ -68,6 +79,22 @@ def _q_assemble_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_pages(_q_align_pages(spark, sf_dir))
 
 
+def _q_unmatched_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: reference lines never assigned to any segment (ocrd/cli.py:235-236
+    ``set(range(len(l2))) - assigned``) — anti-join of exploded reference
+    lines against the kernel's assignment output.  Rows-only check (depends
+    on the non-SQL alignment kernel)."""
+    from pyspark.sql import functions as F
+    pages = pages_from_documents(spark, sf_dir)
+    aligned = align_pages(pages, normalization=DEFAULT_NORMALIZATION)
+    lines = pages.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("line_no", "line")) \
+        .where(F.trim("line") != "")
+    matched = aligned.where(F.col("j") >= 0).select("url", "line_no").distinct()
+    return lines.join(matched, ["url", "line_no"], "left_anti") \
+                .select("url", "line_no", F.length("line").alias("line_len"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(relational.QUERIES)
     out.update(dedup.QUERIES)
@@ -78,9 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({
         "u1_align_pages": _q_align_pages,
         "u1_align_segments": _q_align_segments,
+        "u1_align_salted": _q_align_salted,
         "k3_page_metrics": _q_page_metrics,
         "k3_corpus_metrics": _q_corpus_metrics,
         "a4_assemble_pages": _q_assemble_pages,
+        "a5_unmatched_lines": _q_unmatched_lines,
     })
     return out
 

@@ -23,7 +23,8 @@ from .subseg import SUBSEG_ACC_MAX, SUBSEG_LEN_MIN, match_subseg
 __all__ = ["match"]
 
 
-def match(l1, l2, workers=1, normalization=None, cutoff=None, try_subseg=False):
+def match(l1, l2, workers=1, normalization=None, cutoff=None, try_subseg=False,
+          dist=None):
     """Force alignment of string lists; returns ``(result, scores)``.
 
     Contract identical to the reference (align.py:17-33): ``result`` is an
@@ -32,13 +33,23 @@ def match(l1, l2, workers=1, normalization=None, cutoff=None, try_subseg=False):
     ``scores`` is float32 in [0, 1].  ``workers`` is accepted for signature
     parity but ignored: intra-matrix threading (align.py:60) is superseded by
     Spark task parallelism (SURVEY.md §2.10 U4).
+
+    ``dist`` optionally injects a precomputed N×M float32 similarity matrix
+    (the skew-salted path scores row chunks in parallel Spark tasks and
+    reassembles the matrix before this sequential loop — SURVEY.md §4
+    custom-work #1; values must equal ``cdist_levenshtein`` output, which is
+    exact because every cell is a pure function of one (l1[i], l2[j]) pair).
     """
     assert len(l1) > 0
     assert len(l2) > 0
     assert isinstance(l1[0], str)
     assert isinstance(l2[0], str)
     preprocess = make_preprocessor(normalization)
-    dist = cdist_levenshtein(l1, l2, score_cutoff=cutoff, processor=preprocess)
+    if dist is None:
+        dist = cdist_levenshtein(l1, l2, score_cutoff=cutoff,
+                                 processor=preprocess)
+    else:
+        assert dist.shape == (len(l1), len(l2))
     dim1 = len(l1)
     dim2 = len(l2)
     idx1 = np.arange(dim1)

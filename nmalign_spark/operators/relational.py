@@ -270,6 +270,168 @@ AS v(url, side, seq_no, seg_text)
 """
 
 
+# --- S2/S3: file-per-string + filelist sources (cli.py:24-25,34-35,69-77) ---
+
+def _materialize_string_files(sf_dir: str, n: int = 20) -> list[str]:
+    """Deterministic fixture files for the S2/S3 sources: one UTF-8 text file
+    per document (first ``n`` docs by doc_id), content = the text column.
+    Derived from driver parquet so the DuckDB oracle can reconstruct the
+    same strings from the ``documents`` view."""
+    import duckdb as _duckdb
+    from pathlib import Path as _Path
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = _Path(f"/tmp/nmalign_s2{tag}")
+    paths = []
+    rows = _duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"ORDER BY doc_id LIMIT {n}").fetchall()
+    root.mkdir(parents=True, exist_ok=True)
+    for doc_id, text in rows:
+        p = root / f"doc_{int(doc_id):06d}.txt"
+        if not p.exists():
+            p.write_text(text, encoding="utf-8")
+        paths.append(str(p))
+    return paths
+
+
+def s2_files_source(spark, sf_dir):
+    """S2: one text file per string (--files1/--files2): wholetext read +
+    input_file_name keeps the file->string mapping; order = given path
+    order (cli.py:71,77)."""
+    from ..sources.segments import files_df
+    paths = _materialize_string_files(sf_dir)
+    return files_df(spark, paths, side=1).select("seq_no", "seg_text")
+
+
+ORACLE_S2 = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INT) AS seq_no,
+       text AS seg_text
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+"""
+
+
+def s3_filelist_source(spark, sf_dir):
+    """S3: a text file listing one path per line (--filelist1/--filelist2)."""
+    from ..sources.segments import filelist_df
+    paths = _materialize_string_files(sf_dir)
+    listfile = f"{'/'.join(paths[0].split('/')[:-1])}/filelist.txt"
+    with open(listfile, "w", encoding="utf-8") as f:
+        f.write("\n".join(paths) + "\n")
+    return filelist_df(spark, listfile, side=2).select("seq_no", "seg_text")
+
+
+ORACLE_S3 = ORACLE_S2
+
+
+# --- P1/F1: normalization preprocess chain (align.py:54-59) -----------------
+# SQL-checkable probe of the *chain* semantics (replacements applied in
+# insertion order, each seeing the previous output).  The full preprocess
+# (Python-re + NFKC, align.py:58) is not SQL-expressible and lives in the
+# Arrow kernel (functions/normalize.py), unit-tested in pytest.
+
+def p1_normalize_chain(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = F.substring("text", 1, 80)
+    s = F.regexp_replace(s, "row", "line")   # step 1
+    s = F.regexp_replace(s, "line", "zeile")  # step 2 sees step 1 output
+    return d.select("doc_id", s.alias("norm_text"))
+
+
+ORACLE_P1 = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(substr(text, 1, 80),
+                                     'row', 'line', 'g'),
+                      'line', 'zeile', 'g') AS norm_text
+FROM documents
+"""
+
+
+# --- P2/P3: first-TextEquiv + confidence projections (ocrd/cli.py:293-304) --
+
+def p2_first_equiv(spark, sf_dir):
+    """element_at(split)[first] with '' default (P2) + coalesce-to-1.0
+    confidence (P3)."""
+    d = t(spark, sf_dir, "documents")
+    first = F.coalesce(F.element_at(F.split("text", " "), 1), F.lit(""))
+    conf = F.coalesce(F.nullif("lang", F.lit("")), F.lit("und"))
+    return d.select("doc_id", first.alias("first_equiv"), conf.alias("conf_lang"))
+
+
+ORACLE_P2 = """
+SELECT doc_id,
+       COALESCE(string_split(text, ' ')[1], '') AS first_equiv,
+       COALESCE(NULLIF(lang, ''), 'und') AS conf_lang
+FROM documents
+"""
+
+
+# --- F8/S6: positional line split (splitlines + posexplode,
+#     ocrd/cli.py:206-215) ---------------------------------------------------
+
+def f8_split_posexplode(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "tok"))
+            .where(F.col("pos") < 12))
+
+
+ORACLE_F8 = """
+SELECT doc_id, pos, tok FROM (
+  SELECT doc_id,
+         CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+         UNNEST(l) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+WHERE pos < 12
+"""
+
+
+# --- O5: reading-order sort with conditional reversal
+#     (ocrd/cli.py:376-410: bottom-to-top / RTL lines reversed) --------------
+
+def o5_reading_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang",
+                    F.posexplode(F.split("text", " ")).alias("pos", "tok")) \
+            .where(F.col("pos") < 8)
+    order_key = F.when(F.col("lang") == "zh", -F.col("pos")) \
+                 .otherwise(F.col("pos"))
+    w = Window.partitionBy("doc_id").orderBy(order_key)
+    return toks.select("doc_id", "pos", "tok",
+                       F.row_number().over(w).alias("reading_pos"))
+
+
+ORACLE_O5 = """
+SELECT doc_id, pos, tok,
+       ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY CASE WHEN lang = 'zh' THEN -pos
+                                        ELSE pos END) AS reading_pos
+FROM (
+  SELECT doc_id, lang,
+         CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+         UNNEST(l) AS tok
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents))
+WHERE pos < 8
+"""
+
+
+# --- K1/F11: formatted TSV sink rows (cli.py:93-122 '%.2f' scores) ----------
+
+def k1_tsv_rows(spark, sf_dir):
+    pairs = f4_lev_similarity(spark, sf_dir)
+    return pairs.select(
+        F.format_string("%d\t%.2f", F.col("id1"), F.col("sim")).alias("tsv"))
+
+
+ORACLE_K1 = """
+SELECT printf('%d\t%.2f', id1, sim) AS tsv FROM (
+  SELECT a.doc_id AS id1,
+         ROUND(1.0 - levenshtein(substr(a.text,1,60), substr(b.text,1,60))
+               / GREATEST(LENGTH(substr(a.text,1,60)),
+                          LENGTH(substr(b.text,1,60))), 6) AS sim
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+"""
+
+
 QUERIES = {
     "j1_page_pairing": j1_page_pairing,
     "j2_missing_partner": j2_missing_partner,
@@ -285,6 +447,13 @@ QUERIES = {
     "w2_neighbor_pairs": w2_neighbor_pairs,
     "o4_ordered_collect": o4_ordered_collect,
     "s1_inline_source": s1_inline_source,
+    "s2_files_source": s2_files_source,
+    "s3_filelist_source": s3_filelist_source,
+    "p1_normalize_chain": p1_normalize_chain,
+    "p2_first_equiv": p2_first_equiv,
+    "f8_split_posexplode": f8_split_posexplode,
+    "o5_reading_order": o5_reading_order,
+    "k1_tsv_rows": k1_tsv_rows,
 }
 
 ORACLES = {
@@ -302,4 +471,11 @@ ORACLES = {
     "w2_neighbor_pairs": ORACLE_W2,
     "o4_ordered_collect": ORACLE_O4,
     "s1_inline_source": ORACLE_S1,
+    "s2_files_source": ORACLE_S2,
+    "s3_filelist_source": ORACLE_S3,
+    "p1_normalize_chain": ORACLE_P1,
+    "p2_first_equiv": ORACLE_P2,
+    "f8_split_posexplode": ORACLE_F8,
+    "o5_reading_order": ORACLE_O5,
+    "k1_tsv_rows": ORACLE_K1,
 }

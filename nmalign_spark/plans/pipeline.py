@@ -14,7 +14,11 @@ Scale design (BASELINE.json north_rule / SURVEY.md §7 step 7):
   output (transactional per partition-directory; mirrors the reference's
   skip-existing-output guard, /root/reference/nmalign/ocrd/cli.py:178-184).
 * **Skew** — pages are routed by kernel-cost proxy (:func:`route_skew`):
-  giant pages are spread one-per-partition so no task holds two giants.
+  giant pages take the matrix-chunk salted path (operators/salt.py): their
+  N×M similarity matrix is scored in row chunks across tasks and reassembled
+  before the sequential assignment loop — bit-identical output, no executor
+  core pinned by one page (north_star: "skewed giant pages are salted and
+  re-merged deterministically").
 * **Lineage + metrics** — per (run_id, crawl_date, bucket): row counts,
   match counts, mean score, appended to ``_lineage`` (the reference's shared
   stats dict, ocrd/cli.py:111-118, as a table).
@@ -33,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.normalize import DEFAULT_NORMALIZATION
 from ..operators.align import align_pages, route_skew
 from ..operators.assemble import assemble_pages
+from ..operators.salt import salted_align
 
 __all__ = ["ExtractionPipeline"]
 
@@ -84,7 +89,14 @@ class ExtractionPipeline:
             pages = pages.join(done, "url", "left_anti")
             n_skipped = n_before - pages.count()
         normal, giants = route_skew(pages, self.giant_chars, self.giant_parts)
-        aligned = self._align(normal).unionByName(self._align(giants))
+        fast = self._align(normal)
+        # giants: matrix-chunk salting; warc_ts/lang joined back via a
+        # broadcast (the giant set is tiny by construction)
+        giant_meta = giants.select("url", "warc_ts", "lang")
+        slow = (salted_align(giants, normalization=self.normalization,
+                             cutoff=self.cutoff, try_subseg=self.try_subseg)
+                .join(F.broadcast(giant_meta), "url"))
+        aligned = fast.unionByName(slow.select(*fast.columns))
         out = (aligned
                .withColumn("crawl_date", F.to_date("warc_ts"))
                .withColumn("bucket", F.pmod(F.xxhash64("url"),
