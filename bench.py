@@ -132,6 +132,14 @@ def run_full() -> dict:
         "align_docs_per_sec": res.get("align_pages", {}).get("docs_per_sec"),
         "rows": {k: v["rows"] for k, v in res.items()},
     }
+    # attach the latest two-level scaling evidence (produced by --scaling,
+    # which measures the real job on a materialized pages table; see BENCH.md)
+    scal = REPO / "BENCH_SCALING.json"
+    if scal.exists():
+        try:
+            line["scaling"] = json.loads(scal.read_text())
+        except Exception:
+            pass
     return line
 
 
@@ -234,6 +242,7 @@ def main():
     if args.scaling:
         res = run_scaling()
         print(json.dumps(res))
+        (REPO / "BENCH_SCALING.json").write_text(json.dumps(res))
         md = REPO / "BENCH.md"
         lo, hi = res["n"], 4 * res["n"]
         md.write_text(
