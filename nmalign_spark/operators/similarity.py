@@ -24,7 +24,8 @@ from pyspark.sql.window import Window
 
 from .relational import t
 
-__all__ = ["brute_force_topk", "lsh_bucketed_topk", "embedding_cosine_dups",
+__all__ = ["brute_force_topk", "lsh_bucketed_topk", "ivf_topk",
+           "embedding_cosine_dups",
            "QUERIES", "ORACLES"]
 
 N_QUERIES = 10      # vec_id < 10 are the query vectors
@@ -154,6 +155,81 @@ SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN: coarse-quantize vectors into inverted cells, probe the
+    ``N_PROBE`` nearest cells per query, exact cosine re-rank inside them.
+
+    Centroids are deterministically sampled (every 37th vec_id, first 8) so
+    the DuckDB oracle reproduces the index exactly; a production build would
+    refine them with a couple of Lloyd iterations (each iteration is one
+    groupBy-average — SQL-expressible — over the same assignment join).
+
+    Scale path vs brute force: assignment costs |V|×K with K broadcast
+    centroids (narrow), re-rank touches only probed cells — the |Q|×|C|
+    cross join never materializes.  Cells are also the natural unit for
+    partition pruning: write the index bucketed by cell id and a probe scans
+    ``N_PROBE`` buckets.
+    """
+    emb = _emb(spark, sf_dir)
+    cent = (emb.where(F.col("vec_id") % 37 == 0)
+            .orderBy("vec_id").limit(N_CENTROIDS)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    sim = F.round(_cosine(F.col("embedding"), F.col("cv")), 6)
+    assign = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id", "embedding", "cid", sim.alias("csim")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    cells = assign.withColumn("r", F.row_number().over(w_assign))
+    inv = cells.where((F.col("r") == 1) & (F.col("vec_id") >= N_QUERIES)) \
+        .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+                F.col("cid").alias("cell"))
+    probes = cells.where((F.col("r") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)) \
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                F.col("cid").alias("cell"))
+    scored = (probes.join(inv, "cell")
+              .select("qid", "nid",
+                      F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("qid", "nid", "cos", "rank"))
+
+
+ORACLE_IVF = f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM embd
+         WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROUND(list_dot_product(e.embedding, c.cv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+  FROM embd e, cent c),
+cells AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cid ASC) AS r
+  FROM assign),
+inv AS (SELECT vec_id AS nid, embedding AS nv, cid AS cell
+        FROM cells WHERE r = 1 AND vec_id >= {N_QUERIES}),
+probes AS (SELECT vec_id AS qid, embedding AS qv, cid AS cell
+           FROM cells WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, nid,
+         ROUND(list_dot_product(qv, nv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cos
+  FROM probes JOIN inv ON probes.cell = inv.cell),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def embedding_cosine_dups(spark, sf_dir):
     """Near-duplicate vector pairs: cosine >= 0.95, brute force with id1<id2.
     (At 100 TB this runs per LSH bucket; here the exact form is the oracle.)"""
@@ -182,11 +258,13 @@ WHERE list_dot_product(a.embedding, b.embedding) /
 QUERIES = {
     "sim_topk_cosine": brute_force_topk,
     "sim_lsh_topk": lsh_bucketed_topk,
+    "sim_ivf_topk": ivf_topk,
     "sim_cosine_dups": embedding_cosine_dups,
 }
 
 ORACLES = {
     "sim_topk_cosine": ORACLE_TOPK,
     "sim_lsh_topk": ORACLE_LSH,
+    "sim_ivf_topk": ORACLE_IVF,
     "sim_cosine_dups": ORACLE_COS_DUPS,
 }
