@@ -195,7 +195,7 @@ def run_single(cpus: int, sf_dir: str, pages_path: str | None = None) -> dict:
             "docs_per_sec": round(n_docs / dt, 2), "n_docs": n_docs}
 
 
-def run_scaling(trials: int = 3) -> dict:
+def run_scaling(trials: int = 4) -> dict:
     """Same input, local[N] vs local[4N] (cluster-size N vs 4N proxy).
 
     Each measurement runs in its own subprocess/JVM (no shared executor
@@ -212,8 +212,9 @@ def run_scaling(trials: int = 3) -> dict:
     lo, hi = SCALE_N, 4 * SCALE_N
     pages_path = _pages_parquet(SF_DIR, BENCH_REP)
     all_runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for _ in range(trials):
-        for cpus in (lo, hi):
+    for k in range(trials):
+        # alternate order each round so slow host phases hit both levels
+        for cpus in ((lo, hi) if k % 2 == 0 else (hi, lo)):
             cmd = [sys.executable, str(REPO / "bench.py"), "--only-align",
                    "--cpus", str(cpus), "--pages-path", pages_path]
             out = subprocess.run(cmd, capture_output=True, text=True,
@@ -224,7 +225,12 @@ def run_scaling(trials: int = 3) -> dict:
     results = {c: min(rs, key=lambda r: r["sec"]) for c, rs in all_runs.items()}
     t8, t32 = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
     eff = round(t32 / (4 * t8), 3)
+    med = {c: sorted(r["sec"] for r in rs)[len(rs) // 2]
+           for c, rs in all_runs.items()}
+    eff_med = round((results[lo]["n_docs"] / med[hi])
+                    / (4 * results[lo]["n_docs"] / med[lo]), 3)
     return {"levels": results, "n": lo, "scaling_efficiency": eff,
+            "scaling_efficiency_median": eff_med,
             "throughput_n": t8, "throughput_4n": t32,
             "trials": {c: [r["sec"] for r in rs] for c, rs in all_runs.items()}}
 
@@ -256,8 +262,11 @@ def main():
             "| parallelism | wall sec (min) | docs/sec | all trials (sec) |\n|---|---|---|---|\n"
             f"| local[{lo}] (N) | {res['levels'][lo]['sec']} | {res['levels'][lo]['docs_per_sec']} | {res['trials'][lo]} |\n"
             f"| local[{hi}] (4N) | {res['levels'][hi]['sec']} | {res['levels'][hi]['docs_per_sec']} | {res['trials'][hi]} |\n\n"
-            f"**Scaling efficiency (N→4N)** = docs/sec₃₂ / (4 × docs/sec₈) = "
-            f"**{res['scaling_efficiency']}** (target ≥ 0.8, BASELINE.json).\n\n"
+            f"**Scaling efficiency (N→4N)** = docs/sec₄ₙ / (4 × docs/secₙ) = "
+            f"**{res['scaling_efficiency']}** min-based / "
+            f"**{res['scaling_efficiency_median']}** median-based "
+            "(target ≥ 0.8, BASELINE.json; values > 1.0 bound the host-noise "
+            "error, not real superlinearity).\n\n"
             "Protocol: interleaved min-of-N, fresh JVM per run, warmup "
             "excluded. Rationale: this VM shows ~4% CPU steal and sustained "
             "full-load throttling (identical back-to-back fully-saturated "

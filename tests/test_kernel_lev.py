@@ -140,3 +140,35 @@ def test_cdist_partial_ratio_cutoff():
     m = cdist_partial_ratio(["abc", "zzz"], ["xxabcxx"], score_cutoff=50)
     assert m[0, 0] == 100.0
     assert m[1, 0] == 0.0
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts, texts)
+def test_window_sims_bitparallel_matches_dp(s1, s2):
+    """The <=64-char bit-parallel LCS window scorer must equal the dense DP
+    on the exact window set _partial_ratio_impl generates."""
+    from nmalign_spark.kernel.lev import _window_sims, _window_sims_dp
+    if not s1 or len(s1) > len(s2):
+        return
+    n, m = len(s1), len(s2)
+    windows = [(0, i) for i in range(1, n)]
+    windows += [(i, i + n) for i in range(0, m - n + 1)]
+    windows += [(i, m) for i in range(m - n + 1, m)]
+    if not windows:
+        return
+    import numpy as np
+    got = _window_sims(s1, windows, s2)
+    want = _window_sims_dp(s1, windows, s2)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_window_sims_long_needle_fallback():
+    from nmalign_spark.kernel.lev import _window_sims, _window_sims_dp
+    import numpy as np
+    s1 = "ab" * 40                      # 80 chars > 64 -> DP fallback
+    s2 = "xx" + s1 + "yy"
+    windows = [(i, i + len(s1)) for i in range(0, len(s2) - len(s1) + 1)]
+    got = _window_sims(s1, windows, s2)
+    want = _window_sims_dp(s1, windows, s2)
+    assert np.allclose(got, want)
+    assert got.max() == 1.0
