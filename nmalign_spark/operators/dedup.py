@@ -36,8 +36,15 @@ MINHASH_K = 8          # signature length; 8 bands x 1 row (high recall)
 
 
 def augmented_docs(spark, sf_dir):
-    """documents + planted exact/near duplicates (see module docstring)."""
+    """documents + planted exact/near duplicates (see module docstring).
+
+    The sf* documents tables are ONE parquet split; without a fan-out the
+    whole shingle+md5 map stage would run on a single core (a real crawl
+    table has thousands of splits and never needs this)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
     near = (docs.where(F.col("doc_id") % 5 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"),
                     F.array_join(
@@ -106,12 +113,25 @@ shingles AS (
 """
 
 
-def _filtered_shingles(aug):
+def _shingle_groups(aug):
+    """(shingle, sorted ids array) with the stop-shingle cap applied.
+
+    ONE shuffle (groupBy shingle) replaces the old window-count shuffle AND
+    the later self-equi-join shuffle: document-frequency is ``size(ids)``,
+    and near-dup candidate pairs are generated *inside* each group row with
+    array ops (≤ C(cap,2) = 1225 pairs per shingle, bounded).  This is the
+    shape that survives 100 TB — the exploded shingle table is shuffled
+    exactly once and never self-joined."""
     sh = _shingles(aug)
-    w = Window.partitionBy("shingle")
-    return (sh.withColumn("df", F.count(F.lit(1)).over(w))
-            .where(F.col("df") <= STOP_SHINGLE_MAX)
-            .drop("df"))
+    return (sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .where(F.size("ids") <= STOP_SHINGLE_MAX))
+
+
+def _filtered_shingles(groups):
+    """Explode the capped groups back to (doc_id, shingle) long form."""
+    return groups.select("shingle", F.explode("ids").alias("doc_id")) \
+                 .select("doc_id", "shingle")
 
 
 FILTERED_SQL = SHINGLES_SQL + f""",
@@ -134,16 +154,23 @@ def ngram_jaccard_pairs(spark, sf_dir):
     cap) -> pair-count agg -> Jaccard from per-doc shingle counts.
     """
     aug = augmented_docs(spark, sf_dir)
-    return _jaccard_from_shingles(_filtered_shingles(aug).cache())
+    return _jaccard_from_groups(_shingle_groups(aug).cache())
 
 
-def _jaccard_from_shingles(sh):
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id2"), "shingle")
-    common = (a.join(b, "shingle")
-              .where(F.col("id1") < F.col("id2"))
-              .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c")))
+def _jaccard_from_groups(groups):
+    """Exact Jaccard pairs from the capped shingle groups.
+
+    Pairs are emitted inside each group row (ids sorted, strictly-later
+    combinations -> id1 < id2, no duplicates) — no self-join of the exploded
+    table, so the quadratic step never touches the shuffle."""
+    pairs = groups.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id1, y AS id2))))")).alias("p")) \
+        .select("p.id1", "p.id2")
+    common = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c"))
+    counts = _filtered_shingles(groups).groupBy("doc_id") \
+        .agg(F.count(F.lit(1)).alias("n"))
     n1 = counts.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
     n2 = counts.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
     jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
@@ -189,20 +216,24 @@ def minhash_lsh_pairs(spark, sf_dir):
     re-aggregation over the exploded shingles.
     """
     aug = augmented_docs(spark, sf_dir)
-    sh = _filtered_shingles(aug).cache()
-    ks = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("k")
-    sig = (sh.withColumn("h", F.md5("shingle"))
-           .select("doc_id", "h", ks)
-           .select("doc_id", "k",
-                   F.expr("concat(substr(h, 4*k + 1, 32 - 4*k), "
-                          "substr(h, 1, 4*k))").alias("hk"))
-           .groupBy("doc_id", "k").agg(F.min("hk").alias("minhash")))
+    groups = _shingle_groups(aug).cache()
+    sh = _filtered_shingles(groups)
+    # all K band minima in ONE wide aggregation (map-side partial combine,
+    # no K-fold row explode through the shuffle), then unpivot to long form
+    rots = [F.min(F.expr(
+        f"concat(substr(h, {4 * k + 1}, {32 - 4 * k}), substr(h, 1, {4 * k}))"
+    )).alias(f"m{k}") for k in range(MINHASH_K)]
+    sigw = sh.withColumn("h", F.md5("shingle")).groupBy("doc_id").agg(*rots)
+    sig = sigw.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{k}") for k in range(MINHASH_K)]))
+        .alias("k", "minhash"))
     a = sig.select(F.col("doc_id").alias("id1"), "k", "minhash")
     b = sig.select(F.col("doc_id").alias("id2"), "k", "minhash")
     cand = (a.join(b, ["k", "minhash"])
             .where(F.col("id1") < F.col("id2"))
             .select("id1", "id2").distinct())
-    verified = _jaccard_from_shingles(sh)
+    verified = _jaccard_from_groups(groups)
     return cand.join(verified, ["id1", "id2"], "inner")
 
 
