@@ -114,33 +114,87 @@ def align_pages(pages_df, normalization=None, cutoff=None, try_subseg=True,
         schema=schema)
 
 
+def _align_one_group(pdf: pd.DataFrame, normalization, cutoff,
+                     try_subseg) -> list[tuple]:
+    """One url's sorted segment rows -> alignment output rows."""
+    url = pdf["url"].iloc[0]
+    p1 = pdf[pdf["side"] == 1].sort_values("seq_no")
+    p2 = pdf[pdf["side"] == 2].sort_values("seq_no")
+    l1 = p1["seg_text"].tolist()
+    raw2 = p2["seg_text"].tolist()
+    # empty-line filter with index bookkeeping (ocrd/cli.py:219-226)
+    l2, line_nos = [], []
+    for no, line in zip(p2["seq_no"].tolist(), raw2):
+        if line and line.strip():
+            l2.append(line)
+            line_nos.append(no)
+    return align_lists_rows(url, l1, l2, line_nos,
+                            normalization, cutoff, try_subseg)
+
+
 def _make_segments_kernel(normalization, cutoff, try_subseg):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        p1 = pdf[pdf["side"] == 1].sort_values("seq_no")
-        p2 = pdf[pdf["side"] == 2].sort_values("seq_no")
-        l1 = p1["seg_text"].tolist()
-        raw2 = p2["seg_text"].tolist()
-        # empty-line filter with index bookkeeping (ocrd/cli.py:219-226)
-        l2, line_nos = [], []
-        for no, line in zip(p2["seq_no"].tolist(), raw2):
-            if line and line.strip():
-                l2.append(line)
-                line_nos.append(no)
-        rows = align_lists_rows(url, l1, l2, line_nos,
-                                normalization, cutoff, try_subseg)
+        rows = _align_one_group(pdf, normalization, cutoff, try_subseg)
         return pd.DataFrame(rows, columns=_COLS)
     return kernel
 
 
-def align_segments(segments_df, normalization=None, cutoff=None, try_subseg=True):
+def _make_segments_stream_kernel(normalization, cutoff, try_subseg):
+    """Streaming many-groups-per-batch kernel.
+
+    ``applyInPandas`` pays ~ms-level per-group overhead (one pandas frame +
+    one Arrow slice per group) — ruinous for millions of small documents.
+    Instead the partition arrives hash-partitioned by url and sorted
+    (url, side, seq_no); this kernel walks the Arrow batches, holds back the
+    possibly-incomplete trailing url of each batch, and processes complete
+    groups with a plain pandas groupby — one Python call per BATCH, not per
+    document."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+
+        def process(chunk: pd.DataFrame) -> pd.DataFrame:
+            rows: list[tuple] = []
+            for _, g in chunk.groupby("url", sort=False):
+                rows.extend(_align_one_group(g, normalization, cutoff,
+                                             try_subseg))
+            return pd.DataFrame(rows, columns=_COLS)
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            last_url = pdf["url"].iloc[-1] if len(pdf) else None
+            mask = pdf["url"] == last_url
+            pending = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield process(done)
+        if pending is not None and len(pending):
+            yield process(pending)
+    return kernel
+
+
+def align_segments(segments_df, normalization=None, cutoff=None,
+                   try_subseg=True, parallelism: int | None = None):
     """Long-form segments (url, side, seq_no, seg_text) -> alignment table.
 
-    One hash shuffle on url; the kernel is a grouped-map Arrow UDF.  Enable
-    AQE so skewed url groups get their shuffle partitions split.
+    One hash shuffle on url + in-partition sort; the kernel is a streaming
+    ``mapInPandas`` that handles many documents per Arrow batch (see
+    ``_make_segments_stream_kernel`` — grouped-map per-group overhead does
+    not scale to millions of small groups).
+
+    The partition count is pinned (``repartition(n, "url")``) instead of
+    letting AQE pick: AQE coalesces shuffle partitions by BYTES, and segment
+    rows are tiny while the per-row kernel cost is huge — measured on sf0.1,
+    AQE folded the whole corpus into one partition and serialized the entire
+    alignment onto one core (16.7 s vs 1.5 s).  Compute-bound Python stages
+    must size partitions by CPU, not bytes.
     """
-    return segments_df.groupBy("url").applyInPandas(
-        _make_segments_kernel(normalization, cutoff, try_subseg),
+    spark = segments_df.sparkSession
+    n = parallelism or spark.sparkContext.defaultParallelism * 4
+    parts = segments_df.repartition(n, "url") \
+        .sortWithinPartitions("url", "side", "seq_no")
+    return parts.mapInPandas(
+        _make_segments_stream_kernel(normalization, cutoff, try_subseg),
         schema=ALIGN_SCHEMA)
 
 
