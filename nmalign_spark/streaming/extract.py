@@ -1,0 +1,38 @@
+"""Streaming extraction: the alignment pipeline over a pages file stream.
+
+The reference is strictly batch (SURVEY.md §2.9); this is the engine's
+additional continuous-ingestion surface: new crawl files landing in a
+directory (or an Iceberg table's appends) flow through the SAME narrow
+align kernel — ``mapInPandas`` is fully streaming-compatible because the
+hot path is stateless per page (no shuffle, no aggregation state).
+
+Semantics: append-mode, exactly-once per file via the checkpoint; the batch
+twin (`align_pages` on the same directory) produces the identical row set,
+which is what tests/test_streaming_extract.py asserts with an availableNow
+drain.  At crawl scale, ``maxFilesPerTrigger`` bounds micro-batch size and
+the sink partitions by (crawl_date, bucket) exactly like the batch
+pipeline (plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from ..operators.align import ALIGN_SCHEMA, _make_pages_kernel
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def stream_align_pages(spark, src_dir: str, normalization=None, cutoff=None,
+                       try_subseg=True, max_files_per_trigger: int | None = None):
+    """pages parquet file stream -> streaming alignment DataFrame.
+
+    Stateless narrow plan (scan -> kernel), so no watermark is needed and
+    append mode is exact; one output row set per input page regardless of
+    micro-batching."""
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(src_dir)
+    return pages.select("url", "html", "text").mapInPandas(
+        _make_pages_kernel(normalization, cutoff, try_subseg, ()),
+        schema=ALIGN_SCHEMA)

@@ -1,0 +1,45 @@
+"""Streaming alignment must equal the batch alignment on the same files
+when drained with availableNow (stateless narrow plan -> exact row parity)."""
+
+import pandas as pd
+import pytest
+
+from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION
+from nmalign_spark.operators.align import align_pages
+from nmalign_spark.sources.pages import pages_from_documents
+from nmalign_spark.streaming.extract import stream_align_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_stream")
+    # two files so more than one micro-batch is possible
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    pages_from_documents(spark, SF).limit(60).repartition(2) \
+        .write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _canon(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return (pdf.sort_values(by=["url", "i"]).reset_index(drop=True)
+            .to_csv(index=False))
+
+
+def test_stream_align_equals_batch(spark, pages_dir, tmp_path):
+    sdf = stream_align_pages(spark, pages_dir,
+                             normalization=DEFAULT_NORMALIZATION,
+                             max_files_per_trigger=1)
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("align_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_align"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM align_stream").toPandas()
+    want = align_pages(spark.read.parquet(pages_dir),
+                       normalization=DEFAULT_NORMALIZATION).toPandas()
+    assert _canon(got) == _canon(want)
