@@ -27,7 +27,8 @@ from pyspark.sql.window import Window
 from .relational import t
 
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
-           "minhash_lsh_pairs", "simhash_signatures", "ORACLES", "QUERIES"]
+           "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
+           "ORACLES", "QUERIES"]
 
 SHINGLE_K = 5          # words per shingle
 STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
@@ -305,11 +306,90 @@ FROM docbits GROUP BY doc_id
 """
 
 
+# --- transitive closure: duplicate components -------------------------------
+
+CC_MAX_ITERS = 12
+
+
+def duplicate_components(spark, sf_dir):
+    """Connected components over the duplicate-pair graph: every document
+    labelled with the smallest doc_id reachable through exact or near-dup
+    edges (the canonical representative a dedup pipeline keeps).
+
+    Pair detection alone under-deduplicates: near-dup similarity is not
+    transitive (A~B, B~C but A!~C), so clusters must be closed before
+    choosing keepers.  Algorithm: min-label propagation — iterate
+    ``label(v) = min(label(v), min over neighbours)`` until fixpoint; the
+    converged label is the component minimum.  Each iteration is one join +
+    one aggregation (all Catalyst; AQE handles the skew), lineage is
+    truncated per iteration with ``localCheckpoint`` (the standard Spark
+    iterative-algorithm pattern — without it the plan deepens linearly and
+    planning cost explodes).  Iterations needed = graph diameter; dup
+    clusters are shallow (star-like), so convergence is fast; bounded by
+    ``CC_MAX_ITERS`` with a loud failure rather than silent truncation.
+    """
+    aug = augmented_docs(spark, sf_dir)
+    groups = _shingle_groups(aug).cache()
+    near = _jaccard_from_groups(groups).select("id1", "id2")
+    exact = exact_duplicates(spark, sf_dir) \
+        .select(F.col("keep_id").alias("id1"), F.col("dup_id").alias("id2"))
+    edges = near.unionByName(exact)
+    edges_sym = edges.unionByName(
+        edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))) \
+        .distinct().cache()
+    labels = aug.select(F.col("doc_id").alias("id"),
+                        F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        neigh = (edges_sym
+                 .join(labels, edges_sym.id1 == labels.id, "inner")
+                 .groupBy(F.col("id2").alias("id"))
+                 .agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id", F.least("label", F.coalesce("nlabel", "label"))
+                              .alias("label"))).localCheckpoint()
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {CC_MAX_ITERS} iters")
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component_id"))
+
+
+ORACLE_COMPONENTS = f"""
+WITH RECURSIVE {AUG_SQL.strip().lstrip()}, {FILTERED_SQL.strip()},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+near AS (
+  SELECT id1, id2 FROM common
+  JOIN counts n1 ON n1.doc_id = id1
+  JOIN counts n2 ON n2.doc_id = id2
+  WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_MIN}),
+hashed AS (SELECT doc_id, md5(text) AS h FROM aug),
+keep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM hashed),
+exact_e AS (SELECT keep_id AS id1, doc_id AS id2 FROM keep WHERE doc_id != keep_id),
+edges AS (SELECT id1, id2 FROM near UNION SELECT id1, id2 FROM exact_e),
+sym AS (SELECT id1, id2 FROM edges UNION SELECT id2, id1 FROM edges),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT s.id2, r.label FROM reach r JOIN sym s ON s.id1 = r.id
+)
+SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_duplicates,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_signatures,
+    "dedup_components": duplicate_components,
 }
 
 ORACLES = {
@@ -317,4 +397,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_components": ORACLE_COMPONENTS,
 }
