@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["myers_cdist"]
+__all__ = ["myers_cdist", "myers_cdist_many"]
 
 _ONE = np.uint64(1)
 _SIX3 = np.uint64(63)
@@ -49,6 +49,143 @@ def myers_cdist(queries: list[str], choices: list[str]) -> np.ndarray:
             out[sel, :] = _myers_cdist_group([queries[i] for i in sel], choices)
         return out
     return _myers_cdist_group(queries, choices)
+
+
+def myers_cdist_many(doc_pairs: list[tuple[list[str], list[str]]]
+                     ) -> list[np.ndarray]:
+    """Block-diagonal batched cdist: one distance matrix per (l1, l2) pair.
+
+    The per-document matrices are tiny (tens of rows), so per-document
+    NumPy calls are overhead-bound; this flattens every intra-document
+    (query, choice) pair of the whole batch into ONE vector of Myers states
+    (north_star: "the similarity-matrix stage batched across documents to
+    keep executors saturated").  Documents whose longest query exceeds 64
+    chars fall back to the per-document multi-word path.
+
+    Returns exact uniform-cost Levenshtein matrices, identical to
+    ``myers_cdist`` per document (asserted by tests/test_kernel_myers.py).
+    """
+    out: list[np.ndarray | None] = [None] * len(doc_pairs)
+    flat_docs: list[int] = []
+    for d, (qs, cs) in enumerate(doc_pairs):
+        if not qs or not cs or max(map(len, qs)) > 64:
+            out[d] = myers_cdist(qs, cs)
+        else:
+            flat_docs.append(d)
+    if not flat_docs:
+        return [m for m in out]  # type: ignore[misc]
+
+    # build the flat pair index: pair p = (query q_global, choice c_global)
+    q_texts: list[str] = []
+    c_texts: list[str] = []
+    pair_q: list[np.ndarray] = []
+    pair_c: list[np.ndarray] = []
+    shapes: list[tuple[int, int]] = []
+    for d in flat_docs:
+        qs, cs = doc_pairs[d]
+        q0, c0 = len(q_texts), len(c_texts)
+        q_texts.extend(qs)
+        c_texts.extend(cs)
+        nq, nc = len(qs), len(cs)
+        gq, gc = np.meshgrid(np.arange(q0, q0 + nq),
+                             np.arange(c0, c0 + nc), indexing="ij")
+        pair_q.append(gq.ravel())
+        pair_c.append(gc.ravel())
+        shapes.append((nq, nc))
+    pq = np.concatenate(pair_q)
+    pc = np.concatenate(pair_c)
+
+    dists = _myers_flat(q_texts, c_texts, pq, pc)
+    off = 0
+    for d, (nq, nc) in zip(flat_docs, shapes):
+        cnt = nq * nc
+        out[d] = dists[off:off + cnt].reshape(nq, nc)
+        off += cnt
+    return [m for m in out]  # type: ignore[misc]
+
+
+def _myers_flat(q_texts: list[str], c_texts: list[str],
+                pq: np.ndarray, pc: np.ndarray) -> np.ndarray:
+    """Single-word Myers over a flat pair vector.  All queries <= 64 chars.
+
+    State is (P,) uint64 per register — every step is one C-loop over all
+    pairs of all documents in the batch."""
+    nq = len(q_texts)
+    la = np.fromiter((len(s) for s in q_texts), dtype=np.int64, count=nq)
+    mb = len(c_texts)
+    lb = np.fromiter((len(s) for s in c_texts), dtype=np.int64, count=mb)
+    # vocab over all query chars
+    q_enc = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+             for s in q_texts]
+    all_q = np.concatenate([e for e in q_enc if e.size] or
+                           [np.empty(0, dtype=np.uint32)])
+    vocab = np.unique(all_q)
+    V = len(vocab)
+    # peq: (nq, V+1) single-word bitmasks, built with one ufunc.at
+    peq = np.zeros((nq, V + 1), dtype=np.uint64)
+    if V:
+        qi_all = np.concatenate([np.full(e.size, i, dtype=np.int64)
+                                 for i, e in enumerate(q_enc) if e.size] or
+                                [np.empty(0, dtype=np.int64)])
+        pos_all = np.concatenate([np.arange(e.size, dtype=np.uint64)
+                                  for e in q_enc if e.size] or
+                                 [np.empty(0, dtype=np.uint64)])
+        vidx_all = np.searchsorted(vocab, all_q)
+        np.bitwise_or.at(peq, (qi_all, vidx_all), _ONE << pos_all)
+    # choices padded + mapped to vocab indices
+    lb_max = int(lb.max()) if mb else 0
+    B = np.zeros((mb, max(lb_max, 1)), dtype=np.uint32)
+    for k, s in enumerate(c_texts):
+        if s:
+            B[k, : len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                           dtype=np.uint32)
+    if V:
+        bidx = np.searchsorted(vocab, B)
+        np.clip(bidx, 0, V - 1, out=bidx)
+        bidx[vocab[bidx] != B] = V
+    else:
+        bidx = np.full(B.shape, V, dtype=np.int64)
+
+    P = pq.size
+    dist = np.empty(P, dtype=np.int32)
+    la_p = la[pq]
+    lb_p = lb[pc]
+    # trivial pairs resolved upfront; loop skips them via the live mask
+    triv = (la_p == 0) | (lb_p == 0)
+    dist[la_p == 0] = lb_p[la_p == 0]
+    dist[lb_p == 0] = la_p[lb_p == 0]
+
+    hb = _ONE << ((np.maximum(la_p - 1, 0).astype(np.uint64)) & _SIX3)
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    pv = np.full(P, full, dtype=np.uint64)
+    mv = np.zeros(P, dtype=np.uint64)
+    score = la_p.astype(np.int32).copy()
+    nzero = np.uint64(0)
+    live = ~triv
+    # iterate to each pair's choice length; capture when done
+    for j in range(lb_max):
+        if not live.any():
+            break
+        lp = np.flatnonzero(live)
+        eq = peq[pq[lp], bidx[pc[lp], j]]
+        pvl = pv[lp]
+        mvl = mv[lp]
+        x = eq & pvl
+        xh = ((x + pvl) ^ pvl) | eq
+        ph = mvl | ~(xh | pvl)
+        mh = pvl & xh
+        score[lp] += ((ph & hb[lp]) != nzero).astype(np.int32)
+        score[lp] -= ((mh & hb[lp]) != nzero).astype(np.int32)
+        ph = (ph << _ONE) | _ONE
+        mh = mh << _ONE
+        xv = eq | mvl
+        pv[lp] = mh | ~(xv | ph)
+        mv[lp] = ph & xv
+        fin = lp[lb_p[lp] == (j + 1)]
+        if fin.size:
+            dist[fin] = score[fin]
+            live[fin] = False
+    return dist
 
 
 def _myers_cdist_group(queries: list[str], choices: list[str]) -> np.ndarray:

@@ -45,15 +45,20 @@ _COLS = ["url", "i", "j", "line_no", "beg", "end", "score", "seg_text", "extract
 
 
 def align_lists_rows(url: str, l1: list[str], l2: list[str], line_nos: list[int],
-                     normalization=None, cutoff=None, try_subseg=True) -> list[tuple]:
-    """Run the kernel on one document's lists and explode to output rows."""
+                     normalization=None, cutoff=None, try_subseg=True,
+                     dist=None) -> list[tuple]:
+    """Run the kernel on one document's lists and explode to output rows.
+
+    ``dist`` optionally injects the precomputed similarity matrix (the
+    batched-across-documents scoring path, kernel/lev.py
+    ``cdist_levenshtein_many``)."""
     rows: list[tuple] = []
     if not l1 or not l2:
         for i, seg in enumerate(l1):
             rows.append((url, i, -1, -1, -1, -1, 0.0, seg, None))
         return rows
     result, scores = match(l1, l2, normalization=normalization,
-                           cutoff=cutoff, try_subseg=try_subseg)
+                           cutoff=cutoff, try_subseg=try_subseg, dist=dist)
     if try_subseg:
         idx, beg, end = result
     else:
@@ -72,17 +77,37 @@ def align_lists_rows(url: str, l1: list[str], l2: list[str], line_nos: list[int]
     return rows
 
 
+def _batched_doc_rows(docs, normalization, cutoff, try_subseg) -> list[list[tuple]]:
+    """Align many documents: ONE flat similarity-matrix pass for the whole
+    batch (north_star: "similarity-matrix stage batched across documents to
+    keep executors saturated"), then the sequential assignment per document
+    with its matrix injected.  ``docs`` = [(url, l1, l2, line_nos)];
+    returns per-document row lists (same values as unbatched calls —
+    tests/test_align_spark.py asserts equality)."""
+    from ..functions.normalize import make_preprocessor
+    from ..kernel.lev import cdist_levenshtein_many
+    preprocess = make_preprocessor(normalization)
+    scorable = [k for k, (_, l1, l2, _) in enumerate(docs) if l1 and l2]
+    mats = cdist_levenshtein_many([(docs[k][1], docs[k][2]) for k in scorable],
+                                  score_cutoff=cutoff, processor=preprocess)
+    dist_of = dict(zip(scorable, mats))
+    return [align_lists_rows(url, l1, l2, line_nos, normalization, cutoff,
+                             try_subseg, dist=dist_of.get(k))
+            for k, (url, l1, l2, line_nos) in enumerate(docs)]
+
+
 def _make_pages_kernel(normalization, cutoff, try_subseg, passthrough=()):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[tuple] = []
             extras = [pdf[c] for c in passthrough]
-            for k, (url, html_b, text) in enumerate(
-                    zip(pdf["url"], pdf["html"], pdf["text"])):
+            docs = []
+            for url, html_b, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 l1 = extract_segments(html_b)
                 l2, line_nos = reference_lines(text)
-                page_rows = align_lists_rows(url, l1, l2, line_nos,
-                                             normalization, cutoff, try_subseg)
+                docs.append((url, l1, l2, line_nos))
+            per_doc = _batched_doc_rows(docs, normalization, cutoff, try_subseg)
+            rows: list[tuple] = []
+            for k, page_rows in enumerate(per_doc):
                 if passthrough:
                     tail = tuple(col.iloc[k] for col in extras)
                     page_rows = [r + tail for r in page_rows]
@@ -114,9 +139,8 @@ def align_pages(pages_df, normalization=None, cutoff=None, try_subseg=True,
         schema=schema)
 
 
-def _align_one_group(pdf: pd.DataFrame, normalization, cutoff,
-                     try_subseg) -> list[tuple]:
-    """One url's sorted segment rows -> alignment output rows."""
+def _group_to_doc(pdf: pd.DataFrame):
+    """One url's sorted segment rows -> (url, l1, l2, line_nos)."""
     url = pdf["url"].iloc[0]
     p1 = pdf[pdf["side"] == 1].sort_values("seq_no")
     p2 = pdf[pdf["side"] == 2].sort_values("seq_no")
@@ -128,6 +152,12 @@ def _align_one_group(pdf: pd.DataFrame, normalization, cutoff,
         if line and line.strip():
             l2.append(line)
             line_nos.append(no)
+    return url, l1, l2, line_nos
+
+
+def _align_one_group(pdf: pd.DataFrame, normalization, cutoff,
+                     try_subseg) -> list[tuple]:
+    url, l1, l2, line_nos = _group_to_doc(pdf)
     return align_lists_rows(url, l1, l2, line_nos,
                             normalization, cutoff, try_subseg)
 
@@ -153,10 +183,11 @@ def _make_segments_stream_kernel(normalization, cutoff, try_subseg):
         pending: pd.DataFrame | None = None
 
         def process(chunk: pd.DataFrame) -> pd.DataFrame:
-            rows: list[tuple] = []
-            for _, g in chunk.groupby("url", sort=False):
-                rows.extend(_align_one_group(g, normalization, cutoff,
-                                             try_subseg))
+            docs = [_group_to_doc(g)
+                    for _, g in chunk.groupby("url", sort=False)]
+            per_doc = _batched_doc_rows(docs, normalization, cutoff,
+                                        try_subseg)
+            rows = [r for page_rows in per_doc for r in page_rows]
             return pd.DataFrame(rows, columns=_COLS)
 
         for pdf in batches:
