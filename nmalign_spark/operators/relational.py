@@ -323,6 +323,43 @@ def s3_filelist_source(spark, sf_dir):
 ORACLE_S3 = ORACLE_S2
 
 
+# --- S4-analogue: PDF layout parse roundtrip (sources/pdf.py) ---------------
+
+def s4_pdf_roundtrip(spark, sf_dir):
+    """Deterministic Flate-compressed PDFs built from each document's text,
+    pushed through the content-stream parser; the oracle is the identity on
+    the source text (roundtrip must be byte-exact for this corpus).  The
+    whole generate+parse runs as one narrow ``mapInPandas``."""
+    import pandas as pd
+
+    from ..sources.pdf import extract_pdf_segments, make_simple_pdf
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, seqs, segs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = make_simple_pdf([text], compress=True)
+                for k, seg in enumerate(extract_pdf_segments(blob)):
+                    ids.append(int(doc_id))
+                    seqs.append(k)
+                    segs.append(seg)
+            yield pd.DataFrame({"doc_id": ids, "seq_no": seqs,
+                                "seg_text": segs})
+
+    return docs.mapInPandas(gen,
+                            schema="doc_id long, seq_no int, seg_text string")
+
+
+ORACLE_S4_PDF = """
+SELECT doc_id, 0 AS seq_no, text AS seg_text FROM documents
+"""
+
+
 # --- P1/F1: normalization preprocess chain (align.py:54-59) -----------------
 # SQL-checkable probe of the *chain* semantics (replacements applied in
 # insertion order, each seeing the previous output).  The full preprocess
@@ -449,6 +486,7 @@ QUERIES = {
     "s1_inline_source": s1_inline_source,
     "s2_files_source": s2_files_source,
     "s3_filelist_source": s3_filelist_source,
+    "s4_pdf_roundtrip": s4_pdf_roundtrip,
     "p1_normalize_chain": p1_normalize_chain,
     "p2_first_equiv": p2_first_equiv,
     "f8_split_posexplode": f8_split_posexplode,
@@ -473,6 +511,7 @@ ORACLES = {
     "s1_inline_source": ORACLE_S1,
     "s2_files_source": ORACLE_S2,
     "s3_filelist_source": ORACLE_S3,
+    "s4_pdf_roundtrip": ORACLE_S4_PDF,
     "p1_normalize_chain": ORACLE_P1,
     "p2_first_equiv": ORACLE_P2,
     "f8_split_posexplode": ORACLE_F8,
