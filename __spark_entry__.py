@@ -79,6 +79,15 @@ def _q_assemble_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_pages(_q_align_pages(spark, sf_dir))
 
 
+def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM heuristics: link-density main-content classification
+    (sources/segments.py extract_main_content; Kohlschütter-style shallow
+    text features).  Rows-only: the regex block walk is not
+    SQL-expressible."""
+    from nmalign_spark.sources.segments import main_content_df
+    return main_content_df(pages_from_documents(spark, sf_dir))
+
+
 def _q_unmatched_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: reference lines never assigned to any segment (ocrd/cli.py:235-236
     ``set(range(len(l2))) - assigned``) — anti-join of exploded reference
@@ -110,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k3_corpus_metrics": _q_corpus_metrics,
         "a4_assemble_pages": _q_assemble_pages,
         "a5_unmatched_lines": _q_unmatched_lines,
+        "dom_main_content": _q_main_content,
     })
     return out
 

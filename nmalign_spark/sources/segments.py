@@ -132,3 +132,91 @@ def filelist_df(spark, listfile: str, side: int, url: str = "filelist"):
     with open(listfile, encoding="utf-8") as f:
         paths = [ln.strip() for ln in f if ln.strip()]
     return files_df(spark, paths, side, url=url)
+
+
+# --- density-based main-content classification (DOM heuristics, north_rule) --
+#
+# Tag-name stripping alone cannot catch boilerplate that sites put in plain
+# divs (related-article boxes, cookie banners, share bars).  The classic
+# content-extraction signal (Kohlschütter et al., "Boilerplate Detection
+# using Shallow Text Features", WSDM 2010 — public literature) is per-block
+# LINK DENSITY: navigation/boilerplate blocks are mostly anchor text, body
+# prose is not.  This classifier is deterministic and regex-only (no DOM
+# lib in this environment), so it runs in any executor.
+
+_SCRIPTISH_RE = re.compile(
+    r"<(script|style|noscript)\b[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL)
+_HEAD_RE = re.compile(r"<head\b[^>]*>.*?</head>", re.IGNORECASE | re.DOTALL)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_blocks(html_bytes: bytes | str) -> list[tuple[str, int, int]]:
+    """html -> [(clean_text, n_chars, n_link_chars)] per block.
+
+    Unlike :func:`extract_segments`, nav/header/footer are NOT dropped by
+    tag name — the density classifier judges them by their own text, which
+    also catches boilerplate living in plain ``div`` soup."""
+    if html_bytes is None:
+        return []
+    s = (html_bytes.decode("utf-8", errors="replace")
+         if isinstance(html_bytes, (bytes, bytearray)) else html_bytes)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _SCRIPTISH_RE.sub(" ", s)
+    s = _HEAD_RE.sub(" ", s)
+    out: list[tuple[str, int, int]] = []
+    for raw in _BLOCK_RE.split(s):
+        if raw is None or raw.lower() in {
+                "p", "div", "li", "ul", "ol", "table", "tr", "td", "th",
+                "br", "section", "article", "blockquote"} or (
+                len(raw) <= 2 and raw.lower().startswith("h")):
+            continue  # the split() capture groups (tag names), not content
+        link_chars = 0
+        for m in _ANCHOR_RE.finditer(raw):
+            inner = _TAG_RE.sub(" ", m.group(1))
+            link_chars += len(re.sub(r"\s+", " ", _html.unescape(inner)).strip())
+        text = _TAG_RE.sub(" ", raw)
+        text = re.sub(r"\s+", " ", _html.unescape(text)).strip()
+        if text:
+            out.append((text, len(text), min(link_chars, len(text))))
+    return out
+
+
+def extract_main_content(html_bytes: bytes | str,
+                         max_link_density: float = 0.4,
+                         min_chars: int = 8) -> list[str]:
+    """Main-content segments by link-density classification.
+
+    A block survives iff it has at least ``min_chars`` of text and at most
+    ``max_link_density`` of it inside anchors.  Deterministic; thresholds
+    follow the shallow-text-features literature (boilerplate blocks are
+    link-dominated; body prose is not)."""
+    keep = []
+    for text, n, link in extract_blocks(html_bytes):
+        if n >= min_chars and (link / n) <= max_link_density:
+            keep.append(text)
+    return keep
+
+
+def main_content_df(pages_df, max_link_density: float = 0.4,
+                    min_chars: int = 8):
+    """pages -> (url, seq_no, seg_text, link_density) via one narrow
+    ``mapInPandas`` (same execution shape as ``segments_from_pages``)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            urls, seqs, texts, dens = [], [], [], []
+            for url, html_b in zip(pdf["url"], pdf["html"]):
+                k = 0
+                for text, n, link in extract_blocks(html_b):
+                    if n >= min_chars and (link / n) <= max_link_density:
+                        urls.append(url)
+                        seqs.append(k)
+                        texts.append(text)
+                        dens.append(round(link / n, 6))
+                        k += 1
+            yield pd.DataFrame({"url": urls, "seq_no": seqs,
+                                "seg_text": texts, "link_density": dens})
+
+    return pages_df.select("url", "html").mapInPandas(
+        gen, schema="url string, seq_no int, seg_text string, link_density double")
