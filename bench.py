@@ -172,11 +172,18 @@ def _pages_parquet(sf_dir: str, rep: int) -> str:
     out = f"/tmp/nmalign_bench_pages_sf{sf}_rep{rep}.parquet"
     if Path(out, "_SUCCESS").exists():
         return out
+    from pyspark.sql import SparkSession
+
     from nmalign_spark.sources.pages import pages_from_documents
-    spark = make_spark(CPUS)
+    # reuse the caller's active session if one exists — make_spark's
+    # getOrCreate would RETURN that same session and the stop() below would
+    # kill it out from under the caller mid-bench
+    active = SparkSession.getActiveSession()
+    spark = active or make_spark(CPUS)
     pages_from_documents(spark, sf_dir, replicate=rep) \
         .repartition(512).write.mode("overwrite").parquet(out)
-    spark.stop()
+    if active is None:
+        spark.stop()
     return out
 
 
@@ -236,8 +243,7 @@ def run_scaling(trials: int = 4) -> dict:
     eff = round(t32 / (4 * t8), 3)
     med = {c: sorted(r["sec"] for r in rs)[len(rs) // 2]
            for c, rs in all_runs.items()}
-    eff_med = round((results[lo]["n_docs"] / med[hi])
-                    / (4 * results[lo]["n_docs"] / med[lo]), 3)
+    eff_med = round(med[lo] / (4 * med[hi]), 3)
     return {"levels": results, "n": lo, "scaling_efficiency": eff,
             "scaling_efficiency_median": eff_med,
             "throughput_n": t8, "throughput_4n": t32,

@@ -155,20 +155,6 @@ def _group_to_doc(pdf: pd.DataFrame):
     return url, l1, l2, line_nos
 
 
-def _align_one_group(pdf: pd.DataFrame, normalization, cutoff,
-                     try_subseg) -> list[tuple]:
-    url, l1, l2, line_nos = _group_to_doc(pdf)
-    return align_lists_rows(url, l1, l2, line_nos,
-                            normalization, cutoff, try_subseg)
-
-
-def _make_segments_kernel(normalization, cutoff, try_subseg):
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = _align_one_group(pdf, normalization, cutoff, try_subseg)
-        return pd.DataFrame(rows, columns=_COLS)
-    return kernel
-
-
 def _make_segments_stream_kernel(normalization, cutoff, try_subseg):
     """Streaming many-groups-per-batch kernel.
 

@@ -41,10 +41,10 @@ _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 _TEXTBLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # tokens inside a text block we care about: strings, arrays, operators, numbers
 _TOKEN_RE = re.compile(
-    rb"\((?:\\.|[^\\()])*\)"      # literal string (with escapes)
-    rb"|\[|\]"                    # array delimiters
-    rb"|-?\d+(?:\.\d+)?"          # number
-    rb"|[A-Za-z'\"*]+")           # operator
+    rb"\((?:\\.|[^\\()])*\)"           # literal string (with escapes)
+    rb"|\[|\]"                         # array delimiters
+    rb"|-?(?:\d+\.?\d*|\.\d+)"         # number (incl. leading-dot reals -.5)
+    rb"|[A-Za-z'\"*]+")                # operator
 
 
 def looks_like_pdf(data: bytes | None) -> bool:
@@ -104,7 +104,7 @@ def _block_lines(block: bytes) -> list[list[str]]:
         if tok == b"]":
             in_array = False
             continue
-        if tok[0:1].isdigit() or tok[0:1] == b"-":
+        if tok[0:1].isdigit() or tok[0:1] in (b"-", b"."):
             if not in_array:
                 nums.append(float(tok))
             continue
@@ -113,9 +113,18 @@ def _block_lines(block: bytes) -> list[list[str]]:
             ty = nums[-1] if nums else 0.0
             if ty < 0 and lines[-1]:
                 lines.append([])
-        elif op in (b"T*", b"'", b'"'):
+        elif op == b"T*":
             if lines[-1]:
                 lines.append([])
+        elif op in (b"'", b'"'):
+            # (s) ' means NEWLINE THEN SHOW — the string token was already
+            # appended, so move it onto its own fresh line
+            if lines[-1]:
+                last = lines[-1].pop()
+                if lines[-1]:
+                    lines.append([last])
+                else:
+                    lines[-1] = [last]
         elif op == b"Tm":
             # absolute matrix: treat as a new line if text already shown
             if lines[-1]:

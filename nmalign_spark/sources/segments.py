@@ -164,12 +164,13 @@ def extract_blocks(html_bytes: bytes | str) -> list[tuple[str, int, int]]:
     s = _SCRIPTISH_RE.sub(" ", s)
     s = _HEAD_RE.sub(" ", s)
     out: list[tuple[str, int, int]] = []
-    for raw in _BLOCK_RE.split(s):
-        if raw is None or raw.lower() in {
-                "p", "div", "li", "ul", "ol", "table", "tr", "td", "th",
-                "br", "section", "article", "blockquote"} or (
-                len(raw) <= 2 and raw.lower().startswith("h")):
-            continue  # the split() capture groups (tag names), not content
+    # _BLOCK_RE has exactly one capture group (the tag name), so split()
+    # interleaves content and tag names: content lives at even positions.
+    # Selecting positionally (not by value) keeps genuine content that
+    # happens to equal a tag name (e.g. a block whose text is "blockquote").
+    for raw in _BLOCK_RE.split(s)[::2]:
+        if raw is None:
+            continue
         link_chars = 0
         for m in _ANCHOR_RE.finditer(raw):
             inner = _TAG_RE.sub(" ", m.group(1))

@@ -40,8 +40,6 @@ _STATE_DDL = "sides array<int>, seqs array<int>, texts array<string>"
 
 
 def _make_stateful_kernel(normalization, cutoff, try_subseg, stale_ms: int):
-    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
-
     def fn(key, pdfs, state):
         url = key[0]
         if state.hasTimedOut:

@@ -51,3 +51,11 @@ def test_main_content_df_spark(spark):
     assert len(pdf) == 2
     assert list(pdf["seq_no"]) == [0, 1]
     assert (pdf["link_density"] <= 0.4).all()
+
+
+def test_content_equal_to_tag_name_survives():
+    """Positional (not value-based) split: a block whose text equals a tag
+    name must not vanish."""
+    segs = extract_main_content(b"<p>blockquote</p><p>Real content here.</p>")
+    assert "blockquote" in segs
+    assert "Real content here." in segs

@@ -32,16 +32,34 @@ def test_escapes_and_octal():
     assert got[1] == "tab end"          # whitespace collapsed
 
 
+def _raw_pdf(content: bytes) -> bytes:
+    return (b"%PDF-1.4\n4 0 obj\n<< /Length " +
+            str(len(content)).encode() + b" >>\nstream\n" + content +
+            b"\nendstream\nendobj\n%%EOF\n")
+
+
 def test_tj_array_and_tstar():
     content = (b"BT /F1 12 Tf 72 720 Td "
                b"[(Hel) -20 (lo)] TJ T* (world) Tj ET")
-    pdf = make_simple_pdf([])  # shell
-    pdf = pdf.replace(b"BT\n/F1 12 Tf\n72 720 Td\nET", content, 1)
-    # rebuild with our own content: easier — craft stream directly
-    raw = (b"%PDF-1.4\n4 0 obj\n<< /Length " +
-           str(len(content)).encode() + b" >>\nstream\n" + content +
-           b"\nendstream\nendobj\n%%EOF\n")
-    assert extract_pdf_segments(raw) == ["Hello", "world"]
+    assert extract_pdf_segments(_raw_pdf(content)) == ["Hello", "world"]
+
+
+def test_quote_operator_breaks_before_show():
+    """(s) ' means NEWLINE-THEN-SHOW — the common one-quote-per-line idiom
+    must not merge lines."""
+    content = b"BT (line1) Tj (line2) ' (line3) ' ET"
+    assert extract_pdf_segments(_raw_pdf(content)) \
+        == ["line1", "line2", "line3"]
+    # ' as the first show of a block: no phantom empty line
+    assert extract_pdf_segments(_raw_pdf(b"BT (only) ' ET")) == ["only"]
+    # Tj after ' continues on the same line
+    assert extract_pdf_segments(_raw_pdf(b"BT (a) ' (b) Tj ET")) == ["ab"]
+
+
+def test_leading_dot_negative_td_breaks_line():
+    """Generators emitting leading-dot reals (-.5) must still break lines."""
+    content = b"BT (first) Tj 0 -.5 Td (second) Tj ET"
+    assert extract_pdf_segments(_raw_pdf(content)) == ["first", "second"]
 
 
 def test_garbage_never_raises():
