@@ -292,7 +292,8 @@ def main():
             "saturates one box. The align "
             "plan itself is shuffle-free (scan → mapInPandas kernel → "
             "count), so scaling is limited only by input splits (512) and "
-            "host contention.\n")
+            "host contention. Skew-salting wall-clock evidence: "
+            "BENCH_SKEW.md.\n")
         return
     print(json.dumps(run_full()))
 
