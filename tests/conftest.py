@@ -10,6 +10,9 @@ def spark():
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "4g")
+         .config("spark.sql.warehouse.dir", "/tmp/nmalign_test_warehouse")
+         .config("spark.driver.extraJavaOptions",
+                 "-Dderby.system.home=/tmp/nmalign_test_derby")
          .getOrCreate())
     yield s
     s.stop()
