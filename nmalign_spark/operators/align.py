@@ -36,8 +36,8 @@ from pyspark.sql import functions as F
 from ..kernel.assign import match
 from ..sources.segments import extract_segments, reference_lines
 
-__all__ = ["ALIGN_SCHEMA", "align_pages", "align_segments", "route_skew",
-           "align_lists_rows"]
+__all__ = ["ALIGN_SCHEMA", "align_pages", "align_segments",
+           "align_cogrouped", "route_skew", "align_lists_rows"]
 
 ALIGN_SCHEMA = ("url string, i int, j int, line_no int, beg int, end int, "
                 "score double, seg_text string, extracted string")
@@ -212,6 +212,41 @@ def align_segments(segments_df, normalization=None, cutoff=None,
         .sortWithinPartitions("url", "side", "seq_no")
     return parts.mapInPandas(
         _make_segments_stream_kernel(normalization, cutoff, try_subseg),
+        schema=ALIGN_SCHEMA)
+
+
+def _make_cogroup_kernel(normalization, cutoff, try_subseg):
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        url = (left["url"].iloc[0] if len(left) else right["url"].iloc[0])
+        l1 = left.sort_values("seq_no")["seg_text"].tolist()
+        l2, line_nos = [], []
+        for no, line in zip(right.sort_values("seq_no")["seq_no"],
+                            right.sort_values("seq_no")["seg_text"]):
+            if line and line.strip():
+                l2.append(line)
+                line_nos.append(int(no))
+        rows = align_lists_rows(url, l1, l2, line_nos,
+                                normalization, cutoff, try_subseg)
+        return pd.DataFrame(rows, columns=_COLS)
+    return kernel
+
+
+def align_cogrouped(candidates_df, references_df, normalization=None,
+                    cutoff=None, try_subseg=True):
+    """Two-table input shape: candidates (url, seq_no, seg_text) cogrouped
+    with references (url, seq_no, seg_text) — ``cogroup().applyInPandas``
+    keyed by url (north_star: "per-url alignment runs as cogrouped Arrow
+    batches").
+
+    Prefer :func:`align_segments` for massive corpora of small documents
+    (its streaming kernel amortizes per-group overhead); the cogroup form is
+    the natural fit when the two sides genuinely live in different tables
+    (e.g. OCR output vs ground-truth collections) and groups are
+    fewer/larger.  Output identical to the other paths on the same lists
+    (tests/test_align_spark.py)."""
+    return candidates_df.groupBy("url").cogroup(
+        references_df.groupBy("url")).applyInPandas(
+        _make_cogroup_kernel(normalization, cutoff, try_subseg),
         schema=ALIGN_SCHEMA)
 
 
