@@ -51,3 +51,45 @@ def test_watermark_present_in_plan(spark, src_dir):
     assert sdf.isStreaming
     plan = sdf._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_append_mode_watermark_closes_windows(spark, tmp_path):
+    """Append mode only emits a window once the watermark passes its end —
+    the bounded-state contract. Two micro-batches: early events, then a
+    far-future event that advances the watermark past every early window;
+    the final append output must contain exactly the closed early windows."""
+    import pandas as pd
+    schema = stw.EVENTS_DDL
+    d = tmp_path / "wm_src"
+    early = [(1, "2024-01-01 00:10:00", 1, "view", 1.0, "{}"),
+             (2, "2024-01-01 00:20:00", 1, "view", 2.0, "{}"),
+             (3, "2024-01-01 01:10:00", 2, "click", 3.0, "{}")]
+    late = [(4, "2024-02-01 00:00:00", 3, "view", 4.0, "{}")]
+
+    def write(rows, name):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type", "value", "props"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        df = spark.createDataFrame(pdf)
+        df.coalesce(1).write.parquet(str(d / f"batch={name}"))
+
+    write(early, "a")
+    write(late, "b")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(d))
+          .withWatermark("ts", "2 hours"))
+    agg = (ev.groupBy(stw.F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(stw.F.count(stw.F.lit(1)).alias("n"))
+           .select(stw.F.col("w.start").alias("ws"), "event_type", "n"))
+    q = (agg.writeStream.format("memory").queryName("wm_append")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM wm_append ORDER BY ws").toPandas()
+    # the two early windows are closed by the 2024-02 watermark and emitted;
+    # the late event's own window is still open -> NOT emitted
+    assert len(got) == 2
+    assert got["n"].tolist() == [2, 1]
+    assert str(got["ws"].iloc[0]).startswith("2024-01-01 00:00")
+    assert str(got["ws"].iloc[1]).startswith("2024-01-01 01:00")
