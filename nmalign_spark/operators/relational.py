@@ -360,6 +360,57 @@ SELECT doc_id, 0 AS seq_no, text AS seg_text FROM documents
 """
 
 
+# --- U1 (SQL-checkable core): identity alignment through the REAL kernel ----
+
+_IDENT_CHUNK = 6
+
+
+def u1_align_identity(spark, sf_dir):
+    """Runs the full alignment kernel on provably-identity inputs so its
+    output is SQL-derivable and hash-checked (the only way to put the
+    non-relational greedy kernel behind the DuckDB gate): both sides are the
+    SAME chunked lines with a uniqueness marker, so the correct assignment
+    is exactly i -> i, score 1.0, whole-line.  Exercises the real code path
+    end to end — segments shuffle, streaming kernel, batched similarity
+    scoring, greedy loop, output plumbing; any indexing/ordering/score
+    regression breaks the hash."""
+    from .align import align_segments
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ch = _IDENT_CHUNK
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / ch).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * ch + 1, ch), " "),
+            F.lit(" #"), i.cast("string")))
+    chunked = docs.select(F.col("doc_id").cast("string").alias("url"),
+                          F.posexplode(lines).alias("seq_no", "seg_text"))
+    segs = chunked.select("url", F.lit(1).alias("side"), "seq_no", "seg_text") \
+        .unionByName(chunked.select("url", F.lit(2).alias("side"),
+                                    "seq_no", "seg_text"))
+    return align_segments(segs)
+
+
+ORACLE_U1_IDENTITY = f"""
+WITH chunked AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, CAST(i AS INT) AS seq_no,
+         array_to_string(list_slice(string_split(text, ' '),
+                                    i * {_IDENT_CHUNK} + 1,
+                                    i * {_IDENT_CHUNK} + {_IDENT_CHUNK}), ' ')
+           || ' #' || i AS seg_text
+  FROM documents,
+       UNNEST(range(0, CAST(floor((len(string_split(text, ' ')) - 1)
+                                  / {_IDENT_CHUNK}) AS INT) + 1)) AS r(i)
+)
+SELECT url, seq_no AS i, seq_no AS j, seq_no AS line_no,
+       -1 AS beg, -1 AS "end", 1.0 AS score,
+       seg_text, seg_text AS extracted
+FROM chunked
+"""
+
+
 # --- P1/F1: normalization preprocess chain (align.py:54-59) -----------------
 # SQL-checkable probe of the *chain* semantics (replacements applied in
 # insertion order, each seeing the previous output).  The full preprocess
@@ -487,6 +538,7 @@ QUERIES = {
     "s2_files_source": s2_files_source,
     "s3_filelist_source": s3_filelist_source,
     "s4_pdf_roundtrip": s4_pdf_roundtrip,
+    "u1_align_identity": u1_align_identity,
     "p1_normalize_chain": p1_normalize_chain,
     "p2_first_equiv": p2_first_equiv,
     "f8_split_posexplode": f8_split_posexplode,
@@ -512,6 +564,7 @@ ORACLES = {
     "s2_files_source": ORACLE_S2,
     "s3_filelist_source": ORACLE_S3,
     "s4_pdf_roundtrip": ORACLE_S4_PDF,
+    "u1_align_identity": ORACLE_U1_IDENTITY,
     "p1_normalize_chain": ORACLE_P1,
     "p2_first_equiv": ORACLE_P2,
     "f8_split_posexplode": ORACLE_F8,
