@@ -5,10 +5,10 @@ Re-derivation of the reference's ``nmalign`` command
 dependency): same option names, same mutually-exclusive input groups
 (--strings*/--files*/--filelist*), same output contract — one line per l1
 element ``a<sep>b<sep>%.2f[<sep>beg<sep>end]`` on stdout and the three
-percentage aggregates on stderr (cli.py:93-126).  ``-i/--interactive`` is
-intentionally absent (SURVEY.md §2.10 U3: dropped — no interactive executor
-I/O in the Spark engine; the sequential local path would support it, but we
-keep one behavior everywhere).
+percentage aggregates on stderr (cli.py:93-126).  ``-i/--interactive``
+works in LOCAL mode only (SURVEY.md §2.10 U3: the distributed operators
+never prompt — no interactive executor I/O — so ``--spark -i`` is
+rejected).
 
 Two execution modes:
 
@@ -36,6 +36,8 @@ def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="nmalign-spark",
         description="Force-align two lists of strings (fuzzy, monotonic).")
+    ap.add_argument("-i", "--interactive", action="store_true",
+                    help="prompt for each assigned pair (local mode only)")
     ap.add_argument("-c", "--cutoff", type=float, default=0.0,
                     help="minimum score")
     ap.add_argument("-j", "--processes", type=int, default=1,
@@ -79,10 +81,19 @@ def _load_side(strings, files, filelist):
     return texts, list(files)
 
 
-def _match_local(l1, l2, normalization, cutoff, allow_splits):
+def _prompt(text: str) -> bool:
+    sys.stderr.write(text + "? [Y/n] ")
+    sys.stderr.flush()
+    ans = sys.stdin.readline().strip().lower()
+    return ans in ("", "y", "yes", "true", "1")
+
+
+def _match_local(l1, l2, normalization, cutoff, allow_splits,
+                 interactive=False):
     from .kernel.assign import match
     return match(l1, l2, normalization=normalization,
-                 cutoff=cutoff or None, try_subseg=allow_splits)
+                 cutoff=cutoff or None, try_subseg=allow_splits,
+                 interactive=_prompt if interactive else None)
 
 
 def _match_spark(l1, l2, normalization, cutoff, allow_splits):
@@ -125,8 +136,17 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     normalization = json.loads(args.normalization) if args.normalization else None
-    runner = _match_spark if args.spark else _match_local
-    res, dst = runner(l1, l2, normalization, args.cutoff, args.allow_splits)
+    if args.interactive and args.spark:
+        print("-i/--interactive is local-only (no executor I/O)",
+              file=sys.stderr)
+        return 2
+    if args.spark:
+        res, dst = _match_spark(l1, l2, normalization, args.cutoff,
+                                args.allow_splits)
+    else:
+        res, dst = _match_local(l1, l2, normalization, args.cutoff,
+                                args.allow_splits,
+                                interactive=args.interactive)
     if args.allow_splits:
         res_ind, res_beg, res_end = res
     else:

@@ -24,7 +24,7 @@ __all__ = ["match"]
 
 
 def match(l1, l2, workers=1, normalization=None, cutoff=None, try_subseg=False,
-          dist=None):
+          dist=None, interactive=None):
     """Force alignment of string lists; returns ``(result, scores)``.
 
     Contract identical to the reference (align.py:17-33): ``result`` is an
@@ -39,6 +39,14 @@ def match(l1, l2, workers=1, normalization=None, cutoff=None, try_subseg=False,
     reassembles the matrix before this sequential loop — SURVEY.md §4
     custom-work #1; values must equal ``cdist_levenshtein`` output, which is
     exact because every cell is a pure function of one (l1[i], l2[j]) pair).
+
+    ``interactive`` optionally supplies an approval callback
+    ``cb(prompt_text) -> bool`` for the reference's per-pair gate
+    (align.py:131-145): a rejected subsegmentation falls back to the
+    whole-pair prompt, a rejected pair sets ``dist[i,j] = -inf`` and the
+    loop retries (same prompt texts as the reference).  LOCAL-ONLY (the CLI
+    ``-i`` flag): Spark executors have no interactive I/O (SURVEY.md §2.10
+    U3), so the distributed operators never pass it.
     """
     assert len(l1) > 0
     assert len(l2) > 0
@@ -111,7 +119,22 @@ def match(l1, l2, workers=1, normalization=None, cutoff=None, try_subseg=False,
                                   processor=preprocess)
         else:
             subseg = []
+        if len(subseg) and interactive is not None:
+            text = ("Found subsegmentation:\n" +
+                    "".join("%d/%d[%d:%d] (%.2f)\n> %s\n< %s\n" % (
+                        subind1, ind2, begin, end, subscore,
+                        l1[subind1], seg2[begin:end])
+                        for subind1, begin, end, subscore
+                        in sorted(subseg, key=lambda sub: sub[1])) + "Accept")
+            if not interactive(text):
+                subseg = []
         if not len(subseg):
+            if interactive is not None:
+                text = ("Found %d/%d (%.2f):\n> %s\n< %s\nAccept"
+                        % (ind1, ind2, score, seg1, seg2))
+                if not interactive(text):
+                    dist[ind1, ind2] = -np.inf  # skip next time (align.py:144)
+                    continue
             if cutoff and score < cutoff:
                 if not try_subseg:
                     # without subsegmentation, follow-up results will only be

@@ -114,3 +114,44 @@ def test_input_validation():
         match([], ["a"])
     with pytest.raises(AssertionError):
         match(["a"], [])
+
+
+def test_interactive_rejection_retries_next_best():
+    """align.py:131-145: a rejected pair gets dist[i,j] = -inf and the loop
+    retries; an accept-all callback changes nothing."""
+    from nmalign_spark.kernel.assign import match
+    l1 = ["alpha beta", "gamma delta"]
+    l2 = ["alpha beta", "gamma delta"]
+    # accept-all == non-interactive
+    r_plain, s_plain = match(l1, l2)
+    r_acc, s_acc = match(l1, l2, interactive=lambda text: True)
+    assert list(r_plain) == list(r_acc)
+    # reject the first proposed pair only: that exact (i,j) must be skipped
+    seen = []
+    def rej_first(text):
+        seen.append(text)
+        return len(seen) > 1
+    r_rej, s_rej = match(l1, l2, interactive=rej_first)
+    assert len(seen) >= 2
+    assert "Accept" in seen[0] and "Found" in seen[0]
+    # identity pair 0->0 or 1->1 was rejected once; the other assignments
+    # still complete and no l2 index is used twice
+    used = [j for j in r_rej if j >= 0]
+    assert len(set(used)) == len(used)
+
+
+def test_interactive_subseg_rejection_falls_back_to_pair_prompt():
+    from nmalign_spark.kernel.assign import match
+    l1 = ["aa bb cc", "dd ee ff"]
+    l2 = ["aa bb cc dd ee ff", "zz"]
+    prompts = []
+    def rej_subseg(text):
+        prompts.append(text)
+        return not text.startswith("Found subsegmentation")
+    res, scores = match(l1, l2, try_subseg=True, interactive=rej_subseg)
+    kinds = {p.split(":")[0] for p in prompts}
+    # if a subsegmentation was proposed it was rejected and the whole-pair
+    # prompt followed; either way pair prompts occurred
+    assert any(p.startswith("Found ") for p in prompts)
+    idx = res[0]
+    assert (idx >= -1).all()
