@@ -81,11 +81,28 @@ def _load_side(strings, files, filelist):
     return texts, list(files)
 
 
+_TRUE = {"", "y", "yes", "true", "t", "on", "1"}
+_FALSE = {"n", "no", "false", "f", "off", "0"}
+
+
 def _prompt(text: str) -> bool:
-    sys.stderr.write(text + "? [Y/n] ")
-    sys.stderr.flush()
-    ans = sys.stdin.readline().strip().lower()
-    return ans in ("", "y", "yes", "true", "1")
+    """click-BOOL-compatible prompt: accepts y/yes/t/true/on/1 and
+    n/no/f/false/off/0, re-asks on anything else, aborts on EOF (the
+    reference's click.prompt raises Abort there — never fabricate
+    approvals from a drained stdin)."""
+    while True:
+        sys.stderr.write(text + "? [Y/n] ")
+        sys.stderr.flush()
+        line = sys.stdin.readline()
+        if line == "":              # EOF
+            sys.stderr.write("\nAborted!\n")
+            raise SystemExit(1)
+        ans = line.strip().lower()
+        if ans in _TRUE:
+            return True
+        if ans in _FALSE:
+            return False
+        sys.stderr.write(f"Error: {ans!r} is not a valid boolean.\n")
 
 
 def _match_local(l1, l2, normalization, cutoff, allow_splits,
@@ -129,6 +146,10 @@ def _match_spark(l1, l2, normalization, cutoff, allow_splits):
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.interactive and args.spark:
+        print("-i/--interactive is local-only (no executor I/O)",
+              file=sys.stderr)
+        return 2
     l1, files1 = _load_side(args.strings1, args.files1, args.filelist1)
     l2, files2 = _load_side(args.strings2, args.files2, args.filelist2)
     if args.show_files and (files1 is None or files2 is None):
@@ -136,10 +157,6 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     normalization = json.loads(args.normalization) if args.normalization else None
-    if args.interactive and args.spark:
-        print("-i/--interactive is local-only (no executor I/O)",
-              file=sys.stderr)
-        return 2
     if args.spark:
         res, dst = _match_spark(l1, l2, normalization, args.cutoff,
                                 args.allow_splits)

@@ -1,9 +1,10 @@
 """Greedy monotonicity-weighted assignment of two string lists.
 
 Faithful re-derivation of ``nmalign.lib.align.match``
-(/root/reference/nmalign/lib/align.py:17-166), minus the interactive prompt
-path (SURVEY.md §2.10 U3 — no interactive executor I/O in Spark) and with the
-rapidfuzz ``cdist`` swapped for the native NumPy kernel.
+(/root/reference/nmalign/lib/align.py:17-166) with the rapidfuzz ``cdist``
+swapped for the native NumPy kernel.  The interactive prompt path
+(SURVEY.md §2.10 U3) is supported LOCAL-ONLY via the ``interactive=``
+callback below — the Spark operators never pass it (no executor I/O).
 
 This is the sequential per-document core: it runs once per group inside the
 Arrow kernel (`applyInPandas`/`mapInPandas`); document-level parallelism is
@@ -58,6 +59,10 @@ def match(l1, l2, workers=1, normalization=None, cutoff=None, try_subseg=False,
                                  processor=preprocess)
     else:
         assert dist.shape == (len(l1), len(l2))
+        if interactive is not None:
+            # rejections write -inf into dist; never mutate a
+            # caller-supplied matrix in place
+            dist = dist.copy()
     dim1 = len(l1)
     dim2 = len(l2)
     idx1 = np.arange(dim1)

@@ -141,17 +141,42 @@ def test_interactive_rejection_retries_next_best():
 
 
 def test_interactive_subseg_rejection_falls_back_to_pair_prompt():
+    """Uses the fixture that genuinely triggers subsegmentation (same lists
+    as test_subseg_splits_merged_line): the subseg prompt must fire, its
+    rejection must fall through to the whole-pair prompt, and the final
+    result must have NO sub-spans (all whole-line or unmatched)."""
     from nmalign_spark.kernel.assign import match
-    l1 = ["aa bb cc", "dd ee ff"]
-    l2 = ["aa bb cc dd ee ff", "zz"]
+    l1 = ["the quickk brown fox junps",
+          "ovre the lazy sleping dog",
+          "an unrelated trailing line here"]
+    l2 = ["the quick brown fox jumps over the lazy sleeping dog",
+          "an unrelated trailing line here"]
+    # accept-all must reproduce the split (sanity: the fixture subsegments)
+    prompts_acc = []
+    res_acc, _ = match(l1, l2, try_subseg=True,
+                       interactive=lambda t: prompts_acc.append(t) or True)
+    assert any(p.startswith("Found subsegmentation") for p in prompts_acc)
+    assert (res_acc[1] >= 0).any()          # sub-spans committed
+    # reject-subseg: falls back to the pair prompt, no spans in the result
     prompts = []
     def rej_subseg(text):
         prompts.append(text)
         return not text.startswith("Found subsegmentation")
     res, scores = match(l1, l2, try_subseg=True, interactive=rej_subseg)
-    kinds = {p.split(":")[0] for p in prompts}
-    # if a subsegmentation was proposed it was rejected and the whole-pair
-    # prompt followed; either way pair prompts occurred
-    assert any(p.startswith("Found ") for p in prompts)
-    idx = res[0]
-    assert (idx >= -1).all()
+    assert any(p.startswith("Found subsegmentation") for p in prompts)
+    pair_after = [p for p in prompts if not p.startswith("Found subseg")]
+    assert pair_after                        # whole-pair prompt followed
+    idx, beg, end = res
+    assert (beg == -1).all() and (end == -1).all()
+
+
+def test_interactive_does_not_mutate_injected_dist():
+    import numpy as np
+    from nmalign_spark.kernel.assign import match
+    from nmalign_spark.kernel.lev import cdist_levenshtein
+    l1 = ["alpha beta", "gamma delta"]
+    l2 = ["alpha beta", "gamma delta"]
+    dist = cdist_levenshtein(l1, l2)
+    snapshot = dist.copy()
+    match(l1, l2, dist=dist, interactive=lambda t: False)  # reject all
+    assert np.array_equal(dist, snapshot)
