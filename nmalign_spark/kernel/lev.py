@@ -33,6 +33,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+from functools import lru_cache as _lru_cache
 
 __all__ = [
     "ScoreAlignment",
@@ -273,6 +274,16 @@ def cdist_partial_ratio(queries: list[str], choices: list[str],
 # partial_ratio — best Indel window of the shorter string inside the longer
 # ---------------------------------------------------------------------------
 
+@_lru_cache(maxsize=16)
+def _haystack_profile(s2: str):
+    """(codepoints, unique chars, inverse index) of a haystack, memoized:
+    the subseg candidate scan scores MANY needles against the SAME seg2
+    (align.py:181-184), so the per-call unique/encode was pure overhead."""
+    s2c = _encode(s2)
+    uniq, inv = np.unique(s2c, return_inverse=True)
+    return s2c, uniq, inv
+
+
 def _window_sims_dp(s1: str, windows: list[tuple[int, int]], s2: str) -> np.ndarray:
     """Dense-DP fallback (needles > 64 chars): one batched Indel DP over all
     windows at once."""
@@ -302,9 +313,8 @@ def _window_sims(s1: str, windows: list[tuple[int, int]], s2: str) -> np.ndarray
         return _window_sims_dp(s1, windows, s2)
     if n > 64:
         return _window_sims_dp(s1, windows, s2)
-    s2c = _encode(s2)
+    s2c, uniq, inv = _haystack_profile(s2)
     p1 = _encode(s1)
-    uniq, inv = np.unique(s2c, return_inverse=True)
     M = np.zeros(len(uniq), dtype=np.uint64)
     idx = np.searchsorted(uniq, p1)
     ok = idx < len(uniq)

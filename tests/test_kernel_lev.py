@@ -81,10 +81,8 @@ def test_cdist_processor_applied_to_both_sides():
 
 # --- partial_ratio ---------------------------------------------------------
 
-def _slow_partial_ratio(s1, s2):
-    """Brute-force oracle: same window set, scalar indel similarity."""
-    if len(s1) > len(s2):
-        s1, s2 = s2, s1
+def _slow_partial_ratio_oneway(s1, s2):
+    """One-direction window scan (requires len(s1) <= len(s2))."""
     if not s1 and not s2:
         return 100.0
     if not s1 or not s2:
@@ -99,6 +97,20 @@ def _slow_partial_ratio(s1, s2):
     for st_, en in wins:
         best = max(best, indel_normalized_similarity(s1, s2[st_:en]))
     return best * 100.0
+
+
+def _slow_partial_ratio(s1, s2):
+    """Brute-force oracle incl. the published equal-length rule: when
+    len(s1) == len(s2) and the first pass is not perfect, the roles are
+    also tried reversed and the better score wins (the prefix/suffix
+    window sets differ between directions, so this can genuinely improve
+    — e.g. ('aaaaaa', 'aaaa a'))."""
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    best = _slow_partial_ratio_oneway(s1, s2)
+    if best != 100.0 and len(s1) == len(s2):
+        best = max(best, _slow_partial_ratio_oneway(s2, s1))
+    return best
 
 
 @pytest.mark.parametrize("s1,s2,exp", [
