@@ -18,7 +18,9 @@ def synth_small(doc_id):
 
 spark = make_spark(8)
 spark.range(10).count(); _warm_python_workers(spark, 8)
-rows = [synth_small(i) for i in range(3000)] + [synth_giant(i, 900) for i in range(3)]
+import os
+GIANT_LINES = int(os.environ.get('SKEW_GIANT_LINES', '900'))
+rows = [synth_small(i) for i in range(3000)] + [synth_giant(i, GIANT_LINES) for i in range(3)]
 pages = spark.createDataFrame(rows, "url string, html binary, text string").repartition(64).cache()
 pages.count()
 for name, fn in [("unsalted", lambda: align_pages(pages, try_subseg=False)),
