@@ -146,6 +146,19 @@ def _match_spark(l1, l2, normalization, cutoff, allow_splits):
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+    # option validation matching the reference's cloup ranges
+    # (scripts/cli.py:12-13: FloatRange(0, 1) for -c, IntRange(1, 32) for -j):
+    # a silently-accepted cutoff > 1 would produce an all-unmatched result
+    # instead of a usage error.
+    if not 0.0 <= args.cutoff <= 1.0:
+        print(f"Error: Invalid value for '-c' / '--cutoff': {args.cutoff} "
+              "is not in the range 0<=x<=1.", file=sys.stderr)
+        return 2
+    if not 1 <= args.processes <= 32:
+        print(f"Error: Invalid value for '-j' / '--processes': "
+              f"{args.processes} is not in the range 1<=x<=32.",
+              file=sys.stderr)
+        return 2
     if args.interactive and args.spark:
         print("-i/--interactive is local-only (no executor I/O)",
               file=sys.stderr)

@@ -1,5 +1,10 @@
 """Greedy monotonicity-weighted assignment of two string lists.
 
+Portions of the greedy loop below closely follow bertsky/nmalign
+(MIT License, Copyright Robert Sachunsky) — the mandate is byte-identical
+output of that exact algorithm (argmax tie-breaks, float dtypes, cutoff
+rules), so the control flow necessarily mirrors lib/align.py.
+
 Faithful re-derivation of ``nmalign.lib.align.match``
 (/root/reference/nmalign/lib/align.py:17-166) with the rapidfuzz ``cdist``
 swapped for the native NumPy kernel.  The interactive prompt path

@@ -1,6 +1,11 @@
 """Subsegmentation: split one long right-hand string across several left-hand
 segments via local alignment + shortest path over the interval graph.
 
+Portions of the interval-graph construction below closely follow
+bertsky/nmalign (MIT License, Copyright Robert Sachunsky) — byte-identical
+output of that exact algorithm is the mandate, so the control flow
+necessarily mirrors lib/align.py.
+
 Faithful re-derivation of ``match_subseg`` at
 /root/reference/nmalign/lib/align.py:168-243, with the scipy/joblib/rapidfuzz
 dependencies replaced by native kernels:

@@ -288,8 +288,11 @@ def _materialize_string_files(sf_dir: str, n: int = 20) -> list[str]:
     root.mkdir(parents=True, exist_ok=True)
     for doc_id, text in rows:
         p = root / f"doc_{int(doc_id):06d}.txt"
-        if not p.exists():
-            p.write_text(text, encoding="utf-8")
+        # always rewrite (files are tiny): skipping existing files would
+        # serve stale fixtures if the sf corpus were ever regenerated with
+        # different text, making the oracle comparison fail (or pass)
+        # spuriously
+        p.write_text(text, encoding="utf-8")
         paths.append(str(p))
     return paths
 

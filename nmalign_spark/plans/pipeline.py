@@ -31,6 +31,7 @@ Scale design (BASELINE.json north_rule / SURVEY.md §7 step 7):
 from __future__ import annotations
 
 import time
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -79,7 +80,10 @@ class ExtractionPipeline:
 
     def run(self, spark, pages_df, run_id: str | None = None) -> dict:
         """Execute (or resume) the job; returns run stats."""
-        run_id = run_id or f"run-{int(time.time())}"
+        # uuid, not a second-resolution timestamp: two runs started within
+        # the same second must not share a run_id (the this_run filter would
+        # double-count the other run's rows in extracted/ and _lineage)
+        run_id = run_id or f"run-{uuid.uuid4().hex[:16]}"
         t0 = time.time()
         pages = pages_df
         done = self._committed_urls(spark)

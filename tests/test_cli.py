@@ -67,3 +67,20 @@ def test_spark_mode_matches_local():
     spark = _run(args + ["--spark"])
     assert local.returncode == spark.returncode == 0
     assert local.stdout == spark.stdout
+
+
+def test_option_range_validation():
+    """Reference parity (scripts/cli.py:12-13): -c constrained to
+    FloatRange(0,1), -j to IntRange(1,32) — out-of-range exits 2 with a
+    usage error instead of silently producing an all-unmatched result."""
+    base = ["--strings1", "a", "--strings2", "a"]
+    r = _run(["-c", "1.5", *base])
+    assert r.returncode == 2 and "cutoff" in r.stderr
+    r = _run(["-c", "-0.1", *base])
+    assert r.returncode == 2 and "cutoff" in r.stderr
+    r = _run(["-j", "0", *base])
+    assert r.returncode == 2 and "processes" in r.stderr
+    r = _run(["-j", "33", *base])
+    assert r.returncode == 2 and "processes" in r.stderr
+    r = _run(["-c", "1.0", "-j", "32", *base])
+    assert r.returncode == 0
