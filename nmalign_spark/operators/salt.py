@@ -47,31 +47,34 @@ from .align import ALIGN_SCHEMA, _COLS, align_lists_rows, align_pages, route_ske
 
 __all__ = ["align_pages_salted", "salted_align"]
 
-_CHUNK_SCHEMA = ("url string, chunk_id int, n_chunks int, i_offset int, "
-                 "l1_chunk array<string>, l2 array<string>, "
+_CHUNK_SCHEMA = ("page_uid long, url string, chunk_id int, n_chunks int, "
+                 "i_offset int, l1_chunk array<string>, l2 array<string>, "
                  "line_nos array<int>")
-_SCORED_SCHEMA = _CHUNK_SCHEMA + ", sim binary"
+_SCORED_SUFFIX = ", sim binary"
 
 
-def _make_chunker(chunk_rows: int):
+def _make_chunker(chunk_rows: int, passthrough=()):
     def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["page_uid", "url", "chunk_id", "n_chunks", "i_offset",
+                "l1_chunk", "l2", "line_nos", *passthrough]
         for pdf in batches:
             out = []
-            for url, html_b, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            extras_cols = [pdf[c] for c in passthrough]
+            for k, (uid, url, html_b, text) in enumerate(
+                    zip(pdf["page_uid"], pdf["url"], pdf["html"], pdf["text"])):
+                extras = tuple(col.iloc[k] for col in extras_cols)
                 l1 = extract_segments(html_b)
                 l2, line_nos = reference_lines(text)
                 if not l1 or not l2:
                     # degenerate page: single empty chunk, resolved in assemble
-                    out.append((url, 0, 1, 0, l1, l2, line_nos))
+                    out.append((uid, url, 0, 1, 0, l1, l2, line_nos) + extras)
                     continue
                 n_chunks = (len(l1) + chunk_rows - 1) // chunk_rows
                 for c in range(n_chunks):
                     lo = c * chunk_rows
-                    out.append((url, c, n_chunks, lo, l1[lo:lo + chunk_rows],
-                                l2, line_nos))
-            yield pd.DataFrame(out, columns=["url", "chunk_id", "n_chunks",
-                                             "i_offset", "l1_chunk", "l2",
-                                             "line_nos"])
+                    out.append((uid, url, c, n_chunks, lo,
+                                l1[lo:lo + chunk_rows], l2, line_nos) + extras)
+            yield pd.DataFrame(out, columns=cols)
     return chunker
 
 
@@ -94,17 +97,19 @@ def _make_scorer(normalization, cutoff):
     return scorer
 
 
-def _make_assembler(normalization, cutoff, try_subseg):
+def _make_assembler(normalization, cutoff, try_subseg, passthrough=()):
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_id")
         url = pdf["url"].iloc[0]
+        extras = tuple(pdf[c].iloc[0] for c in passthrough)
         l2 = list(pdf["l2"].iloc[0])
         line_nos = [int(x) for x in pdf["line_nos"].iloc[0]]
         l1 = [s for chunk in pdf["l1_chunk"] for s in chunk]
+        cols = _COLS + list(passthrough)
         if not l1 or not l2:
             rows = align_lists_rows(url, l1, l2, line_nos,
                                     normalization, cutoff, try_subseg)
-            return pd.DataFrame(rows, columns=_COLS)
+            return pd.DataFrame([r + extras for r in rows], columns=cols)
         dist = np.vstack([
             np.frombuffer(b, dtype=np.float32).reshape(-1, len(l2))
             for b in pdf["sim"]])
@@ -120,35 +125,59 @@ def _make_assembler(normalization, cutoff, try_subseg):
         for i, seg in enumerate(l1):
             j = int(idx[i])
             if j < 0:
-                rows.append((url, i, -1, -1, -1, -1, 0.0, seg, None))
+                rows.append((url, i, -1, -1, -1, -1, 0.0, seg, None) + extras)
                 continue
             line = l2[j]
             b, e = int(beg[i]), int(end[i])
             extracted = line[b:e] if b >= 0 else line
             rows.append((url, i, j, line_nos[j], b, e, float(scores[i]),
-                         seg, extracted))
-        return pd.DataFrame(rows, columns=_COLS)
+                         seg, extracted) + extras)
+        return pd.DataFrame(rows, columns=cols)
     return assemble
 
 
 def salted_align(giant_pages_df, normalization=None, cutoff=None,
                  try_subseg=True, chunk_rows: int = 256,
-                 parallelism: int | None = None):
+                 parallelism: int | None = None, passthrough=()):
     """Giant pages -> alignment table via chunked parallel matrix scoring.
+
+    Chunks are keyed by a per-ROW ``page_uid`` (``monotonically_increasing_
+    id``), never by url: two distinct giant rows can share a url (re-crawled
+    page, different content), and stitching their matrix chunks together
+    would silently diverge from ``align_pages`` — which processes every row
+    independently.  The uid is internal plumbing; output carries url only,
+    so duplicate-url corpora produce exactly the same multiset of rows as
+    the unsalted path (tests/test_salt.py::test_duplicate_urls).
+
+    ``passthrough`` columns ride along the chunk rows and reappear on every
+    output row (same contract as ``align_pages``) — cheaper and
+    duplicate-safe vs joining metadata back by url afterwards.
 
     The chunk-spreading shuffle pins its partition count: chunk rows are
     small in BYTES but huge in kernel CPU, and AQE coalesces by bytes — it
     would fold the chunks back onto few cores and defeat the salting (same
     trap as align_segments; measured there: 16.7 s vs 1.5 s)."""
+    passthrough = tuple(passthrough)
     spark = giant_pages_df.sparkSession
     n = parallelism or spark.sparkContext.defaultParallelism * 4
-    chunks = giant_pages_df.select("url", "html", "text").mapInPandas(
-        _make_chunker(chunk_rows), schema=_CHUNK_SCHEMA)
-    scored = chunks.repartition(n, "url", "chunk_id").mapInPandas(
-        _make_scorer(normalization, cutoff), schema=_SCORED_SCHEMA)
-    return scored.groupBy("url").applyInPandas(
-        _make_assembler(normalization, cutoff, try_subseg),
-        schema=ALIGN_SCHEMA)
+    chunk_schema = _CHUNK_SCHEMA
+    out_schema = ALIGN_SCHEMA
+    if passthrough:
+        by_name = {f.name: f for f in giant_pages_df.schema.fields}
+        extra = ", ".join(f"{c} {by_name[c].dataType.simpleString()}"
+                          for c in passthrough)
+        chunk_schema = _CHUNK_SCHEMA + ", " + extra
+        out_schema = ALIGN_SCHEMA + ", " + extra
+    pages = giant_pages_df.select("url", "html", "text", *passthrough) \
+        .withColumn("page_uid", F.monotonically_increasing_id())
+    chunks = pages.mapInPandas(
+        _make_chunker(chunk_rows, passthrough), schema=chunk_schema)
+    scored = chunks.repartition(n, "page_uid", "chunk_id").mapInPandas(
+        _make_scorer(normalization, cutoff),
+        schema=chunk_schema + _SCORED_SUFFIX)
+    return scored.groupBy("page_uid").applyInPandas(
+        _make_assembler(normalization, cutoff, try_subseg, passthrough),
+        schema=out_schema)
 
 
 def align_pages_salted(pages_df, normalization=None, cutoff=None,

@@ -94,12 +94,12 @@ class ExtractionPipeline:
             n_skipped = n_before - pages.count()
         normal, giants = route_skew(pages, self.giant_chars, self.giant_parts)
         fast = self._align(normal)
-        # giants: matrix-chunk salting; warc_ts/lang joined back via a
-        # broadcast (the giant set is tiny by construction)
-        giant_meta = giants.select("url", "warc_ts", "lang")
-        slow = (salted_align(giants, normalization=self.normalization,
-                             cutoff=self.cutoff, try_subseg=self.try_subseg)
-                .join(F.broadcast(giant_meta), "url"))
+        # giants: matrix-chunk salting; warc_ts/lang ride through the salted
+        # path as passthrough columns — a join-back by url would fan out
+        # duplicate-url rows (re-crawled pages) and double-count them
+        slow = salted_align(giants, normalization=self.normalization,
+                            cutoff=self.cutoff, try_subseg=self.try_subseg,
+                            passthrough=("warc_ts", "lang"))
         aligned = fast.unionByName(slow.select(*fast.columns))
         out = (aligned
                .withColumn("crawl_date", F.to_date("warc_ts"))

@@ -69,3 +69,61 @@ def test_salted_degenerate_pages(spark):
     plain = _canon(align_pages(pages, try_subseg=True))
     salted = _canon(salted_align(pages, try_subseg=True, chunk_rows=1))
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_duplicate_urls(spark):
+    """Two giant rows sharing one url but DIFFERENT content: the salted
+    path must process each row independently (page_uid keying), producing
+    the same multiset of rows as align_pages — not a silent merge of the
+    two pages' matrix chunks (the pre-r2 bug: a score-1.0 match became
+    unmatched)."""
+    import html as _html
+
+    def page(url, lines):
+        body = "".join(f"<p>{_html.escape(s)}</p>" for s in lines)
+        return (url, f"<html><body>{body}</body></html>".encode(),
+                "\n".join(lines))
+
+    lines_a = [f"alpha beta gamma line {i} of the first crawl"
+               for i in range(9)]
+    lines_b = [f"totally different recrawl content row {i} here"
+               for i in range(7)]
+    rows = [page("https://dup.example/x", lines_a),
+            page("https://dup.example/x", lines_b),
+            page("https://dup.example/y", lines_a[:5])]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string")
+
+    def multiset(df):
+        pdf = df.toPandas().reindex(sorted(df.columns), axis=1)
+        return sorted(map(tuple, pdf.fillna("<null>").values.tolist()))
+
+    plain = multiset(align_pages(pages, try_subseg=True))
+    salted = multiset(salted_align(pages, try_subseg=True, chunk_rows=3))
+    assert plain == salted
+    # and the same through the routed production entry
+    routed = multiset(align_pages_salted(pages, try_subseg=True,
+                                         giant_chars=10, chunk_rows=3))
+    assert plain == routed
+
+
+def test_salted_passthrough_columns(spark):
+    """passthrough columns reappear on every output row with the ROW's own
+    values (no url-level mixing)."""
+    import html as _html
+    rows = []
+    for k, url in enumerate(["https://p.example/a", "https://p.example/a",
+                             "https://p.example/b"]):
+        lines = [f"content {k} line {i} with several words" for i in range(6)]
+        body = "".join(f"<p>{_html.escape(s)}</p>" for s in lines)
+        rows.append((url, f"<html><body>{body}</body></html>".encode(),
+                     "\n".join(lines), f"meta-{k}"))
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string")
+    out = salted_align(pages, try_subseg=False, chunk_rows=2,
+                       passthrough=("lang",)).toPandas()
+    assert set(out.columns) >= {"url", "i", "lang"}
+    # every aligned row's seg_text embeds the same k as its lang column
+    for _, r in out.iterrows():
+        k = r["lang"].split("-")[1]
+        assert f"content {k} " in r["seg_text"]
