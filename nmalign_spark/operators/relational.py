@@ -363,6 +363,78 @@ SELECT doc_id, 0 AS seq_no, text AS seg_text FROM documents
 """
 
 
+def s4_pagexml_lines(spark, sf_dir):
+    """S4 fidelity roundtrip: deterministic PAGE-XML built from each
+    document's text (three shapes per ``doc_id % 4``: region-fallback with
+    CRLF-joined TextEquiv, NESTED regions probing the get_AllTextLines
+    traversal order, flat lines with @conf attributes + a junk second
+    TextEquiv the reader must ignore), parsed back by the real stdlib
+    reader (sources/pagexml.py, reference semantics ocrd/cli.py:187-215,
+    293-304).  The oracle derives the expected lines from ``documents.text``
+    in pure SQL — escaping, traversal order, first-TextEquiv projection,
+    conf defaulting and the CRLF region split are all under the hash."""
+    import pandas as pd
+
+    from ..sources.pagexml import make_page_xml, pagexml_segments_df
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                lines = [" ".join(words[j * 5:j * 5 + 5]) + " & co"
+                         for j in range((len(words) - 1) // 5 + 1)]
+                mode = int(doc_id) % 4
+                if mode == 0:
+                    xml = make_page_xml(lines, region_fallback=True)
+                elif mode == 1:
+                    xml = make_page_xml(lines, nested=True, junk_equiv=True)
+                else:
+                    xml = make_page_xml(
+                        lines, junk_equiv=True,
+                        confs=[(8 + j % 5) / 16 for j in range(len(lines))])
+                rows.append((f"pagexml://{int(doc_id)}", xml.encode()))
+            yield pd.DataFrame(rows, columns=["url", "xml"])
+
+    pages = docs.mapInPandas(gen, schema="url string, xml binary")
+    return pagexml_segments_df(pages).select(
+        "url", "seq_no", "seg_text", "line_id", "conf")
+
+
+ORACLE_S4_PAGEXML = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+l AS (
+  SELECT doc_id, CAST(j AS INT) AS j,
+         array_to_string(list_slice(toks, j * 5 + 1, j * 5 + 5), ' ')
+           || ' & co' AS line
+  FROM d, UNNEST(range(0, CAST(floor((len(toks) - 1) / 5) AS INT) + 1)) r(j)
+),
+ordered AS (
+  -- nested shape (doc_id % 4 = 1): outer region holds even lines, nested
+  -- region the odd ones -> document order is evens then odds
+  SELECT doc_id, j, line,
+         CASE WHEN doc_id % 4 = 1 THEN (j % 2) * 100000 + j ELSE j END AS ord
+  FROM l
+)
+SELECT 'pagexml://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+            AS INT) AS seq_no,
+       line AS seg_text,
+       CASE WHEN doc_id % 4 = 0 THEN printf('r0_l%04d', j)
+            ELSE printf('l%04d', j) END AS line_id,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN 1.0
+            ELSE (8 + j % 5) / 16.0 END AS conf
+FROM ordered
+"""
+
+
 # --- U1 (SQL-checkable core): identity alignment through the REAL kernel ----
 
 _IDENT_CHUNK = 6
@@ -541,6 +613,7 @@ QUERIES = {
     "s2_files_source": s2_files_source,
     "s3_filelist_source": s3_filelist_source,
     "s4_pdf_roundtrip": s4_pdf_roundtrip,
+    "s4_pagexml_lines": s4_pagexml_lines,
     "u1_align_identity": u1_align_identity,
     "p1_normalize_chain": p1_normalize_chain,
     "p2_first_equiv": p2_first_equiv,
@@ -567,6 +640,7 @@ ORACLES = {
     "s2_files_source": ORACLE_S2,
     "s3_filelist_source": ORACLE_S3,
     "s4_pdf_roundtrip": ORACLE_S4_PDF,
+    "s4_pagexml_lines": ORACLE_S4_PAGEXML,
     "u1_align_identity": ORACLE_U1_IDENTITY,
     "p1_normalize_chain": ORACLE_P1,
     "p2_first_equiv": ORACLE_P2,
