@@ -54,8 +54,9 @@ def _q_align_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from nmalign_spark.operators import oracle_gate
+    from nmalign_spark.operators import hierarchy, oracle_gate
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(relational.QUERIES)
+    out.update(hierarchy.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
@@ -67,8 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from nmalign_spark.operators import oracle_gate
+    from nmalign_spark.operators import hierarchy, oracle_gate
     out = dict(relational.ORACLES)
+    out.update(hierarchy.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)

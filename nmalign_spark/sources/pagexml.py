@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import xml.etree.ElementTree as ET
 
-__all__ = ["parse_page_lines", "pagexml_segments_df", "make_page_xml"]
+__all__ = ["parse_page_lines", "pagexml_segments_df", "make_page_xml",
+           "parse_page_hierarchy", "make_hierarchy_xml"]
 
 
 def _local(tag: str) -> str:
@@ -135,6 +136,99 @@ def pagexml_segments_df(pages_df, side: int = 2, xml_col: str = "xml",
                      "line_id string, conf double"))
 
 
+# --- full-hierarchy parse (A4/F9 roll-up input, operators/hierarchy.py) -----
+
+def _equiv_info(elem) -> tuple[str, float, bool]:
+    """(unicode0, conf0, has_any_textequiv) — cli.py:293-304 projections."""
+    for child in elem:
+        if _local(child.tag) == "TextEquiv":
+            text = ""
+            for sub in child:
+                if _local(sub.tag) == "Unicode":
+                    text = sub.text or ""
+                    break
+            conf = child.get("conf")
+            return text, (1.0 if conf is None else float(conf)), True
+    return "", 1.0, False
+
+
+def _parse_word(elem) -> dict:
+    text, conf, has = _equiv_info(elem)
+    glyphs = []
+    for child in elem:
+        if _local(child.tag) == "Glyph":
+            gtext, gconf, _ = _equiv_info(child)
+            glyphs.append({"id": child.get("id") or "", "text": gtext,
+                           "conf": gconf})
+    return {"id": elem.get("id") or "", "glyphs": glyphs,
+            "readingDirection": elem.get("readingDirection"),
+            "text": text, "conf": conf, "has_equiv": has}
+
+
+def _parse_line(elem) -> dict:
+    text, conf, has = _equiv_info(elem)
+    words = [_parse_word(c) for c in elem if _local(c.tag) == "Word"]
+    return {"id": elem.get("id") or "", "words": words,
+            "readingDirection": elem.get("readingDirection"),
+            "text": text, "conf": conf, "has_equiv": has}
+
+
+def _parse_region(elem) -> dict:
+    text, conf, has = _equiv_info(elem)
+    lines = [_parse_line(c) for c in elem if _local(c.tag) == "TextLine"]
+    subs = [_parse_region(c) for c in elem if _local(c.tag) == "TextRegion"]
+    return {"id": elem.get("id") or "", "lines": lines, "subregions": subs,
+            "textLineOrder": elem.get("textLineOrder"),
+            "readingDirection": elem.get("readingDirection"),
+            "text": text, "conf": conf, "has_equiv": has}
+
+
+def parse_page_hierarchy(xml_bytes: bytes | str) -> dict:
+    """Full PAGE hierarchy for the A4/F9 roll-up
+    (operators/hierarchy.py): regions (nested), lines, words, glyphs,
+    ``Relation@type=join`` pairs, ReadingOrder indexes and the
+    textLineOrder/readingDirection attributes the reference's traversal
+    consults (ocrd/cli.py:345-410)."""
+    empty = {"page": {}, "joins": [], "reading_order": {}, "regions": []}
+    if xml_bytes is None:
+        return empty
+    if isinstance(xml_bytes, str):
+        xml_bytes = xml_bytes.encode("utf-8")
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return empty
+    doc = dict(empty, joins=[], reading_order={}, regions=[])
+
+    def walk(elem):
+        tag = _local(elem.tag)
+        if tag == "Page":
+            doc["page"] = {
+                "textLineOrder": elem.get("textLineOrder"),
+                "readingDirection": elem.get("readingDirection")}
+        if tag == "TextRegion":
+            doc["regions"].append(_parse_region(elem))
+            return                       # children handled recursively
+        if tag == "Relation" and elem.get("type") == "join":
+            src = tgt = None
+            for child in elem:
+                if _local(child.tag) == "SourceRegionRef":
+                    src = child.get("regionRef")
+                elif _local(child.tag) == "TargetRegionRef":
+                    tgt = child.get("regionRef")
+            if src is not None and tgt is not None:
+                doc["joins"].append((src, tgt))
+        if tag == "RegionRefIndexed":
+            ref, index = elem.get("regionRef"), elem.get("index")
+            if ref is not None and index is not None:
+                doc["reading_order"][ref] = int(index)
+        for child in elem:
+            walk(child)
+
+    walk(root)
+    return doc
+
+
 # --- deterministic generator (tests + roundtrip gate query) -----------------
 
 _NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
@@ -180,6 +274,71 @@ def make_page_xml(lines, nested: bool = False, region_fallback: bool = False,
         body = ('<TextRegion id="r0">'
                 + "".join(line_xml(j, s) for j, s in enumerate(lines))
                 + "</TextRegion>")
+    return (f'<?xml version="1.0" encoding="UTF-8"?>'
+            f'<PcGts xmlns="{_NS}"><Page imageWidth="1000" '
+            f'imageHeight="1000">{body}</Page></PcGts>')
+
+
+def make_hierarchy_xml(lines, join_first_lines: bool = False,
+                       rtl_words: bool = False,
+                       bottom_to_top: bool = False,
+                       word_level: bool = False) -> str:
+    """Word/glyph-level PAGE-XML for the A4/F9 roll-up gate + tests.
+
+    ``lines`` is a list of word lists; words are numbered globally
+    (``w{g:04d}``).  Default shape (``word_level=False``): every word
+    carries per-character Glyphs whose conf is constant per word
+    (``(8 + g%5)/16`` — dyadic, so the glyph average is exactly that
+    value), matching a ``level='glyph'`` roll-up (the reference semantics
+    make the chosen level authoritative — a glyph-less word would
+    legitimately roll up to '' there).  ``word_level=True`` instead puts a
+    TextEquiv (conf ``(4 + g%4)/8``) directly on every word for
+    ``level='word'`` runs.  Lines and the region carry NO TextEquiv — the
+    roll-up must synthesize them.  ``join_first_lines`` emits a
+    ``Relation@type=join`` from line 0's last word to line 1's first word
+    (separator suppression, ocrd/cli.py:354-358,429-431).
+    """
+    import html as _html
+
+    def esc(s: str) -> str:
+        return _html.escape(s, quote=False)
+
+    g = 0
+    word_ids: list[list[str]] = []
+    line_parts = []
+    for k, words in enumerate(lines):
+        ids = []
+        wparts = []
+        for word in words:
+            wid = f"w{g:04d}"
+            ids.append(wid)
+            if word_level:
+                conf = (4 + g % 4) / 8
+                wparts.append(
+                    f'<Word id="{wid}"><TextEquiv conf="{conf}">'
+                    f"<Unicode>{esc(word)}</Unicode></TextEquiv></Word>")
+            else:
+                conf = (8 + g % 5) / 16
+                glyphs = "".join(
+                    f'<Glyph id="{wid}_g{c}"><TextEquiv conf="{conf}">'
+                    f"<Unicode>{esc(ch)}</Unicode></TextEquiv></Glyph>"
+                    for c, ch in enumerate(word))
+                wparts.append(f'<Word id="{wid}">{glyphs}</Word>')
+            g += 1
+        word_ids.append(ids)
+        rd = ' readingDirection="right-to-left"' if rtl_words else ""
+        line_parts.append(f'<TextLine id="l{k:04d}"{rd}>'
+                          + "".join(wparts) + "</TextLine>")
+    relations = ""
+    if join_first_lines and len(lines) > 1 and word_ids[0] and word_ids[1]:
+        relations = (
+            '<Relations><Relation type="join">'
+            f'<SourceRegionRef regionRef="{word_ids[0][-1]}"/>'
+            f'<TargetRegionRef regionRef="{word_ids[1][0]}"/>'
+            "</Relation></Relations>")
+    tlo = ' textLineOrder="bottom-to-top"' if bottom_to_top else ""
+    body = (relations + f'<TextRegion id="r0"{tlo}>'
+            + "".join(line_parts) + "</TextRegion>")
     return (f'<?xml version="1.0" encoding="UTF-8"?>'
             f'<PcGts xmlns="{_NS}"><Page imageWidth="1000" '
             f'imageHeight="1000">{body}</Page></PcGts>')
