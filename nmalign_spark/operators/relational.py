@@ -363,6 +363,48 @@ SELECT doc_id, 0 AS seq_no, text AS seg_text FROM documents
 """
 
 
+def s4_pdf_metrics(spark, sf_dir):
+    """Extraction-diagnostics surface (pdf_metrics_df): each document
+    rendered to a Flate PDF, one with a corrupted zlib header per
+    ``doc_id % 5 == 0`` (counted as flate_errors=1, segments=0) — the
+    unsupported/poison share of a crawl shows up in counters, never as an
+    executor exception."""
+    import pandas as pd
+
+    from ..sources.pdf import make_simple_pdf, pdf_metrics_df
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = bytearray(make_simple_pdf([text], compress=True))
+                if int(doc_id) % 5 == 0:
+                    i = blob.find(b"stream\n") + len(b"stream\n")
+                    blob[i:i + 4] = b"\x00\xff\x00\xff"
+                rows.append((f"pdf://{int(doc_id)}", bytes(blob)))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    return pdf_metrics_df(pages)
+
+
+ORACLE_S4_PDF_METRICS = """
+SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+       1 AS is_pdf, 0 AS encrypted, 0 AS object_streams, 0 AS type0_fonts,
+       1 AS streams,
+       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS flate_errors,
+       0 AS truncated_streams,
+       CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS text_blocks,
+       CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS segments
+FROM documents
+"""
+
+
 def s4_pagexml_lines(spark, sf_dir):
     """S4 fidelity roundtrip: deterministic PAGE-XML built from each
     document's text (three shapes per ``doc_id % 4``: region-fallback with
@@ -614,6 +656,7 @@ QUERIES = {
     "s3_filelist_source": s3_filelist_source,
     "s4_pdf_roundtrip": s4_pdf_roundtrip,
     "s4_pagexml_lines": s4_pagexml_lines,
+    "s4_pdf_metrics": s4_pdf_metrics,
     "u1_align_identity": u1_align_identity,
     "p1_normalize_chain": p1_normalize_chain,
     "p2_first_equiv": p2_first_equiv,
@@ -641,6 +684,7 @@ ORACLES = {
     "s3_filelist_source": ORACLE_S3,
     "s4_pdf_roundtrip": ORACLE_S4_PDF,
     "s4_pagexml_lines": ORACLE_S4_PAGEXML,
+    "s4_pdf_metrics": ORACLE_S4_PDF_METRICS,
     "u1_align_identity": ORACLE_U1_IDENTITY,
     "p1_normalize_chain": ORACLE_P1,
     "p2_first_equiv": ORACLE_P2,

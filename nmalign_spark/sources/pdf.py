@@ -35,13 +35,14 @@ import re
 import zlib
 
 __all__ = ["extract_pdf_segments", "make_simple_pdf", "pdf_segments_df",
-           "looks_like_pdf"]
+           "looks_like_pdf", "pdf_extraction_metrics", "pdf_metrics_df"]
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 _TEXTBLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # tokens inside a text block we care about: strings, arrays, operators, numbers
 _TOKEN_RE = re.compile(
     rb"\((?:\\.|[^\\()])*\)"           # literal string (with escapes)
+    rb"|<[0-9A-Fa-f\s]*>"              # hex string (<48656C6C6F> Tj)
     rb"|\[|\]"                         # array delimiters
     rb"|-?(?:\d+\.?\d*|\.\d+)"         # number (incl. leading-dot reals -.5)
     rb"|[A-Za-z'\"*]+")                # operator
@@ -87,6 +88,19 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1", errors="replace")
 
 
+def _unhex(raw: bytes) -> str:
+    """Decode a PDF hex string body (between angle brackets): whitespace
+    ignored, odd trailing digit padded with 0 (PDF 32000 §7.3.4.3)."""
+    digits = re.sub(rb"\s+", b"", raw)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")).decode(
+            "latin-1", errors="replace")
+    except ValueError:
+        return ""
+
+
 def _block_lines(block: bytes) -> list[list[str]]:
     """Token-walk one BT..ET block -> list of lines (lists of show strings)."""
     lines: list[list[str]] = [[]]
@@ -97,6 +111,9 @@ def _block_lines(block: bytes) -> list[list[str]]:
         if tok.startswith(b"("):
             s = _unescape(tok[1:-1])
             lines[-1].append(s)
+            continue
+        if tok.startswith(b"<"):
+            lines[-1].append(_unhex(tok[1:-1]))
             continue
         if tok == b"[":
             in_array = True
@@ -172,6 +189,84 @@ def extract_pdf_segments(pdf_bytes: bytes | None) -> list[str]:
     except Exception:
         return []
     return segs
+
+
+def pdf_extraction_metrics(pdf_bytes: bytes | None) -> dict:
+    """Per-document extraction diagnostics — the "logged by count" side of
+    the unsupported-classes contract (module docstring): a poison PDF never
+    raises, it shows up in these counters instead.
+
+    Keys: ``is_pdf``, ``encrypted`` (/Encrypt in a trailer dict),
+    ``object_streams`` (/ObjStm — PDF 1.5 compressed xref, unsupported),
+    ``type0_fonts`` (/Type0 composite fonts — text from them is likely
+    garbage without a ToUnicode map), ``streams``, ``flate_errors``
+    (FlateDecode streams that failed to inflate), ``truncated_streams``
+    (stream with no matching endstream), ``text_blocks``, ``segments``.
+    """
+    m = {"is_pdf": 0, "encrypted": 0, "object_streams": 0, "type0_fonts": 0,
+         "streams": 0, "flate_errors": 0, "truncated_streams": 0,
+         "text_blocks": 0, "segments": 0}
+    if not looks_like_pdf(pdf_bytes):
+        return m
+    m["is_pdf"] = 1
+    data = pdf_bytes
+    try:
+        m["encrypted"] = int(b"/Encrypt" in data)
+        m["object_streams"] = data.count(b"/ObjStm")
+        m["type0_fonts"] = data.count(b"/Type0")
+        pos = 0
+        while True:
+            sm = _STREAM_RE.search(data, pos)
+            if not sm:
+                break
+            m["streams"] += 1
+            start = sm.end()
+            end = data.find(b"endstream", start)
+            if end < 0:
+                m["truncated_streams"] += 1
+                break
+            body = data[start:end]
+            pos = end + len(b"endstream")
+            if b"/FlateDecode" in sm.group(1):
+                try:
+                    body = zlib.decompressobj().decompress(body)
+                except zlib.error:
+                    m["flate_errors"] += 1
+                    continue
+            m["text_blocks"] += len(_TEXTBLOCK_RE.findall(body))
+        m["segments"] = len(extract_pdf_segments(pdf_bytes))
+    except Exception:
+        pass
+    return m
+
+
+_METRICS_SCHEMA = ("url string, is_pdf int, encrypted int, "
+                   "object_streams int, type0_fonts int, streams int, "
+                   "flate_errors int, truncated_streams int, "
+                   "text_blocks int, segments int")
+
+
+def pdf_metrics_df(pages_df, pdf_col: str = "html"):
+    """Corpus-level extraction diagnostics: one row per document with the
+    :func:`pdf_extraction_metrics` counters — aggregate to see how much of
+    a crawl the parser can and cannot handle, instead of silently dropping
+    the unsupported share.  One narrow ``mapInPandas``."""
+    import pandas as pd
+
+    keys = ["is_pdf", "encrypted", "object_streams", "type0_fonts",
+            "streams", "flate_errors", "truncated_streams", "text_blocks",
+            "segments"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf[pdf_col]):
+                met = pdf_extraction_metrics(blob)
+                rows.append((url, *[met[k] for k in keys]))
+            yield pd.DataFrame(rows, columns=["url", *keys])
+
+    return pages_df.select("url", pdf_col).mapInPandas(
+        gen, schema=_METRICS_SCHEMA)
 
 
 def make_simple_pdf(lines: list[str], compress: bool = False) -> bytes:
