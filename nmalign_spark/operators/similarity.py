@@ -255,10 +255,160 @@ WHERE list_dot_product(a.embedding, b.embedding) /
 """
 
 
+# --- IVF with Lloyd-refined centroids ---------------------------------------
+
+LLOYD_ITERS = 2
+
+
+def _seed_centroids(emb):
+    return (emb.where(F.col("vec_id") % 37 == 0)
+            .orderBy("vec_id").limit(N_CENTROIDS)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+
+
+def _assign_cells(emb, cent):
+    """Every vector's cell ranking vs the given centroids (broadcast)."""
+    sim = F.round(_cosine(F.col("embedding"), F.col("cv")), 6)
+    assign = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id", "embedding", "cid", sim.alias("csim")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return assign.withColumn("r", F.row_number().over(w))
+
+
+def _lloyd_refine(emb, cent, iters: int = LLOYD_ITERS):
+    """k-means refinement, each iteration two Catalyst aggregations:
+    assignment (broadcast crossJoin + window top-1) then the new centroid =
+    element-wise mean via posexplode -> groupBy(cid, pos) -> avg ->
+    re-collect ordered by pos.  Cells that lose all members disappear
+    (matching the SQL oracle's semantics).  Map-side partial aggregation
+    applies to both steps; nothing touches Python."""
+    for _ in range(iters):
+        best = _assign_cells(emb, cent).where(F.col("r") == 1)
+        comp = best.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        means = comp.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+        cent = (means.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                     .alias("pm"))
+                .select("cid",
+                        F.transform("pm", lambda s: s.getField("m"))
+                        .alias("cv")))
+    return cent
+
+
+def ivf_lloyd_topk(spark, sf_dir):
+    """IVF-Flat with centroids refined by ``LLOYD_ITERS`` k-means
+    iterations (the production index build; resolves the seeded-centroid
+    TODO of :func:`ivf_topk`).  Same probe/re-rank plan afterwards; the
+    DuckDB oracle replays the identical iterations in SQL.
+
+    Scale: each Lloyd iteration is one broadcast-assignment pass over the
+    vectors plus a (cid, pos)-keyed mean — shuffle volume K×dim rows, not
+    |V|; iteration count is a small constant fixed at index-build time."""
+    emb = _emb(spark, sf_dir)
+    cent = _lloyd_refine(emb, _seed_centroids(emb))
+    cells = _assign_cells(emb, cent)
+    inv = cells.where((F.col("r") == 1) & (F.col("vec_id") >= N_QUERIES)) \
+        .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+                F.col("cid").alias("cell"))
+    probes = cells.where((F.col("r") <= N_PROBE) &
+                         (F.col("vec_id") < N_QUERIES)) \
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                F.col("cid").alias("cell"))
+    scored = (probes.join(inv, "cell")
+              .select("qid", "nid",
+                      F.round(_cosine(F.col("qv"), F.col("nv")), 6)
+                      .alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("qid", "nid", "cos", "rank"))
+
+
+def _lloyd_iter_sql(prev_cent: str, out_cent: str) -> str:
+    """One Lloyd iteration as DuckDB CTE blocks: assignment against
+    ``prev_cent``, element-wise mean via position unnest."""
+    return f"""
+assign_{out_cent} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROUND(list_dot_product(e.embedding, c.cv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+  FROM embd e, {prev_cent} c),
+best_{out_cent} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cid ASC) AS r
+    FROM assign_{out_cent}) WHERE r = 1),
+means_{out_cent} AS (
+  SELECT cid, CAST(p.pos AS INT) AS pos, AVG(embedding[CAST(p.pos AS INT)]) AS m
+  FROM best_{out_cent}, UNNEST(range(1, len(embedding) + 1)) p(pos)
+  GROUP BY cid, pos),
+{out_cent} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv
+  FROM means_{out_cent} GROUP BY cid)"""
+
+
+ORACLE_IVF_LLOYD = f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, embedding AS cv FROM embd
+          WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS}),
+{_lloyd_iter_sql('cent0', 'cent1')},
+{_lloyd_iter_sql('cent1', 'cent2')},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROUND(list_dot_product(e.embedding, c.cv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+  FROM embd e, cent2 c),
+cells AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cid ASC) AS r
+  FROM assign),
+inv AS (SELECT vec_id AS nid, embedding AS nv, cid AS cell
+        FROM cells WHERE r = 1 AND vec_id >= {N_QUERIES}),
+probes AS (SELECT vec_id AS qid, embedding AS qv, cid AS cell
+           FROM cells WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, nid,
+         ROUND(list_dot_product(qv, nv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cos
+  FROM probes JOIN inv ON probes.cell = inv.cell),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def ivf_recall_at_k(spark, sf_dir) -> dict:
+    """recall@TOP_K of both IVF variants vs the exact brute force — the
+    number an index build gets tuned on.  Driver-side only over the tiny
+    top-k sets (|Q|×k rows)."""
+    def topset(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], set()).add(r["nid"])
+        return out
+
+    exact = topset(brute_force_topk(spark, sf_dir))
+    out = {}
+    for name, fn in (("ivf_seeded", ivf_topk), ("ivf_lloyd", ivf_lloyd_topk)):
+        approx = topset(fn(spark, sf_dir))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        out[name] = hits / sum(len(v) for v in exact.values())
+    return out
+
+
 QUERIES = {
     "sim_topk_cosine": brute_force_topk,
     "sim_lsh_topk": lsh_bucketed_topk,
     "sim_ivf_topk": ivf_topk,
+    "sim_ivf_lloyd_topk": ivf_lloyd_topk,
     "sim_cosine_dups": embedding_cosine_dups,
 }
 
@@ -266,5 +416,6 @@ ORACLES = {
     "sim_topk_cosine": ORACLE_TOPK,
     "sim_lsh_topk": ORACLE_LSH,
     "sim_ivf_topk": ORACLE_IVF,
+    "sim_ivf_lloyd_topk": ORACLE_IVF_LLOYD,
     "sim_cosine_dups": ORACLE_COS_DUPS,
 }
