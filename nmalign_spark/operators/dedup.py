@@ -308,25 +308,65 @@ FROM docbits GROUP BY doc_id
 
 # --- transitive closure: duplicate components -------------------------------
 
-CC_MAX_ITERS = 12
+CC_MAX_ITERS = 20
 
 
-def duplicate_components(spark, sf_dir):
+def _min_label_components(labels, edges_sym, max_iters: int = CC_MAX_ITERS):
+    """Min-label propagation with POINTER DOUBLING: each iteration first
+    takes the min over direct neighbours (one join + agg), then shortcuts
+    ``label(v) <- label(label(v))`` (one join against the label table
+    itself).  Labels are node ids, so the doubling step is sound (a label
+    is always a node of the same component and labels only decrease) and
+    convergence needs O(log diameter) rounds instead of O(diameter) —
+    long near-dup chains (template drift A~B~C~...) stop being a cap risk.
+
+    Cost per iteration: 2 joins + 1 aggregation + one ``localCheckpoint``
+    (lineage truncation); the convergence indicator is a tiny max() over
+    the already-checkpointed frame — no separate join-and-count pass.
+
+    ``labels``: (id, label) start state; ``edges_sym``: symmetric (id1,
+    id2) edge list.  Returns the converged (id, label) frame; raises
+    loudly on non-convergence (silent truncation would under-deduplicate).
+    """
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (edges_sym
+                 .join(labels, edges_sym.id1 == labels.id, "inner")
+                 .groupBy(F.col("id2").alias("id"))
+                 .agg(F.min("label").alias("nlabel")))
+        stepped = (labels.join(neigh, "id", "left")
+                   .select("id", F.col("label").alias("old"),
+                           F.least("label", F.coalesce("nlabel", "label"))
+                           .alias("mid")))
+        lbl2 = labels.select(F.col("id").alias("lid"),
+                             F.col("label").alias("llabel"))
+        doubled = (stepped.join(lbl2, stepped.mid == lbl2.lid, "left")
+                   .select("id", "old",
+                           F.least("mid", F.coalesce("llabel", "mid"))
+                           .alias("label")))
+        new_labels = doubled.localCheckpoint()
+        changed = new_labels.agg(
+            F.max((F.col("label") != F.col("old")).cast("int"))).first()[0]
+        labels = new_labels.select("id", "label")
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"components did not converge in {max_iters} iters "
+        f"(pointer doubling needs ~log2(diameter); raise max_iters)")
+
+
+def duplicate_components(spark, sf_dir, max_iters: int = CC_MAX_ITERS):
     """Connected components over the duplicate-pair graph: every document
     labelled with the smallest doc_id reachable through exact or near-dup
     edges (the canonical representative a dedup pipeline keeps).
 
     Pair detection alone under-deduplicates: near-dup similarity is not
     transitive (A~B, B~C but A!~C), so clusters must be closed before
-    choosing keepers.  Algorithm: min-label propagation — iterate
-    ``label(v) = min(label(v), min over neighbours)`` until fixpoint; the
-    converged label is the component minimum.  Each iteration is one join +
-    one aggregation (all Catalyst; AQE handles the skew), lineage is
-    truncated per iteration with ``localCheckpoint`` (the standard Spark
-    iterative-algorithm pattern — without it the plan deepens linearly and
-    planning cost explodes).  Iterations needed = graph diameter; dup
-    clusters are shallow (star-like), so convergence is fast; bounded by
-    ``CC_MAX_ITERS`` with a loud failure rather than silent truncation.
+    choosing keepers.  Algorithm: :func:`_min_label_components` — min-label
+    propagation with pointer doubling, O(log diameter) rounds, so both
+    star-like dup clusters AND long template-drift chains converge well
+    inside the (now configurable) ``max_iters`` cap; non-convergence still
+    fails loudly rather than silently truncating.
     """
     aug = augmented_docs(spark, sf_dir)
     groups = _shingle_groups(aug).cache()
@@ -338,22 +378,8 @@ def duplicate_components(spark, sf_dir):
         edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))) \
         .distinct().cache()
     labels = aug.select(F.col("doc_id").alias("id"),
-                        F.col("doc_id").alias("label")).localCheckpoint()
-    for _ in range(CC_MAX_ITERS):
-        neigh = (edges_sym
-                 .join(labels, edges_sym.id1 == labels.id, "inner")
-                 .groupBy(F.col("id2").alias("id"))
-                 .agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(neigh, "id", "left")
-                      .select("id", F.least("label", F.coalesce("nlabel", "label"))
-                              .alias("label"))).localCheckpoint()
-        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"components did not converge in {CC_MAX_ITERS} iters")
+                        F.col("doc_id").alias("label"))
+    labels = _min_label_components(labels, edges_sym, max_iters=max_iters)
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component_id"))
 

@@ -1,0 +1,40 @@
+"""Connected components: pointer-doubling min-label propagation
+(operators/dedup.py _min_label_components)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nmalign_spark.operators.dedup import _min_label_components
+
+
+def _run(spark, edges, n, max_iters=20):
+    ids = spark.range(n).select(F.col("id").cast("long"))
+    labels = ids.select("id", F.col("id").alias("label"))
+    e = spark.createDataFrame(edges, "id1 long, id2 long")
+    edges_sym = e.unionByName(
+        e.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+    out = _min_label_components(labels, edges_sym, max_iters=max_iters)
+    return dict((r["id"], r["label"]) for r in out.collect())
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 64-node path graph has diameter 63: plain one-hop propagation
+    needs 63 rounds; pointer doubling must finish in ~log2 + slack."""
+    n = 64
+    got = _run(spark, [(i, i + 1) for i in range(n - 1)], n, max_iters=10)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_multiple_components_and_singletons(spark):
+    edges = [(0, 1), (1, 2), (5, 6), (8, 9), (9, 5)]
+    got = _run(spark, edges, 10)
+    assert got[0] == got[1] == got[2] == 0
+    assert got[5] == got[6] == got[8] == got[9] == 5
+    assert got[3] == 3 and got[4] == 4 and got[7] == 7
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _run(spark, [(i, i + 1) for i in range(63)], 64, max_iters=2)
