@@ -477,6 +477,84 @@ FROM ordered
 """
 
 
+def s7_mets_workspace(spark, sf_dir):
+    """S7 fidelity: real METS workspace scan + zip_input_files pairing
+    (ocrd/cli.py:48-108) over deterministic METS XML built from the
+    documents table — one workspace per 10 docs, one OCR PAGE file per
+    page, and a GT side that cycles through the reference's cases by
+    ``doc_id % 5``: 0 = one plaintext plus an image/png file the
+    ``//(PAGE|text/plain)`` mimetype filter must drop; 1 = TWO plaintext
+    files (sorted-filename append path, cli.py:88-91,210); 2 = a PAGE
+    partner; 3 = no partner at all (page dropped, cli.py:101-107);
+    4 = one plaintext.  Every workspace also carries a document-global
+    file per grp (no structMap div -> null pageId, skipped per
+    cli.py:60-62) and an untouched IMG fileGrp.  The oracle reconstructs
+    the exact pairing in SQL, so grp/mimetype filtering, structMap
+    page-id resolution, global-file skipping, missing-partner dropping
+    and sorted-filename aggregation are all under the hash."""
+    import pandas as pd
+
+    from ..sources.mets import (MIMETYPE_PAGE, make_mets_xml, mets_files_df,
+                                zip_workspace_files)
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") / 10).cast("long").alias("ws"))
+
+    def build(key, pdf):
+        ws = int(key[0])
+        pages, globals_ = [], [
+            ("OCR", f"OCRG_{ws}", MIMETYPE_PAGE, f"OCR/global_{ws}.xml"),
+            ("GT", f"GTG_{ws}", "text/plain", f"GT/global_{ws}.txt")]
+        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+            fs = [("OCR", f"OCR_{doc_id:06d}", MIMETYPE_PAGE,
+                   f"OCR/{doc_id:06d}.xml"),
+                  ("IMG", f"IMG_{doc_id:06d}", "image/png",
+                   f"IMG/{doc_id:06d}.png")]
+            mode = doc_id % 5
+            if mode in (0, 4):
+                fs.append(("GT", f"GT_{doc_id:06d}_0", "text/plain",
+                           f"GT/{doc_id:06d}_0.txt"))
+            if mode == 0:
+                fs.append(("GT", f"GTI_{doc_id:06d}", "image/png",
+                           f"GT/{doc_id:06d}.png"))
+            elif mode == 1:
+                fs += [("GT", f"GT_{doc_id:06d}_{k}", "text/plain",
+                        f"GT/{doc_id:06d}_{k}.txt") for k in (0, 1)]
+            elif mode == 2:
+                fs.append(("GT", f"GT_{doc_id:06d}", MIMETYPE_PAGE,
+                           f"GT/{doc_id:06d}.xml"))
+            pages.append((f"PHYS_{doc_id:06d}", fs))
+        xml = make_mets_xml(pages, global_files=globals_)
+        return pd.DataFrame({"workspace": [f"mets://{ws}"],
+                             "mets": [xml.encode()]})
+
+    workspaces = docs.groupBy("ws").applyInPandas(
+        build, schema="workspace string, mets binary")
+    return zip_workspace_files(mets_files_df(workspaces), "OCR", "GT")
+
+
+ORACLE_S7_METS = """
+SELECT 'mets://' || CAST(CAST(floor(doc_id / 10) AS BIGINT) AS VARCHAR)
+         AS workspace,
+       printf('PHYS_%06d', doc_id) AS page_id,
+       printf('OCR_%06d', doc_id) AS page_file,
+       printf('OCR/%06d.xml', doc_id) AS page_href,
+       CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INT)
+         AS other_is_page,
+       CAST(CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 1 END AS INT) AS n_other,
+       CASE doc_id % 5
+            WHEN 1 THEN printf('GT_%06d_0,GT_%06d_1', doc_id, doc_id)
+            WHEN 2 THEN printf('GT_%06d', doc_id)
+            ELSE printf('GT_%06d_0', doc_id) END AS other_files,
+       CASE doc_id % 5
+            WHEN 1 THEN printf('GT/%06d_0.txt,GT/%06d_1.txt', doc_id, doc_id)
+            WHEN 2 THEN printf('GT/%06d.xml', doc_id)
+            ELSE printf('GT/%06d_0.txt', doc_id) END AS other_hrefs
+FROM documents
+WHERE doc_id % 5 <> 3
+"""
+
+
 # --- U1 (SQL-checkable core): identity alignment through the REAL kernel ----
 
 _IDENT_CHUNK = 6
@@ -657,6 +735,7 @@ QUERIES = {
     "s4_pdf_roundtrip": s4_pdf_roundtrip,
     "s4_pagexml_lines": s4_pagexml_lines,
     "s4_pdf_metrics": s4_pdf_metrics,
+    "s7_mets_workspace": s7_mets_workspace,
     "u1_align_identity": u1_align_identity,
     "p1_normalize_chain": p1_normalize_chain,
     "p2_first_equiv": p2_first_equiv,
@@ -685,6 +764,7 @@ ORACLES = {
     "s4_pdf_roundtrip": ORACLE_S4_PDF,
     "s4_pagexml_lines": ORACLE_S4_PAGEXML,
     "s4_pdf_metrics": ORACLE_S4_PDF_METRICS,
+    "s7_mets_workspace": ORACLE_S7_METS,
     "u1_align_identity": ORACLE_U1_IDENTITY,
     "p1_normalize_chain": ORACLE_P1,
     "p2_first_equiv": ORACLE_P2,
