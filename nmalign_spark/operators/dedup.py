@@ -158,17 +158,26 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return _jaccard_from_groups(_shingle_groups(aug).cache())
 
 
-def _jaccard_from_groups(groups):
+def _jaccard_from_groups(groups, restrict_to=None):
     """Exact Jaccard pairs from the capped shingle groups.
 
     Pairs are emitted inside each group row (ids sorted, strictly-later
     combinations -> id1 < id2, no duplicates) — no self-join of the exploded
-    table, so the quadratic step never touches the shuffle."""
+    table, so the quadratic step never touches the shuffle.
+
+    ``restrict_to``: optional (id1, id2) candidate frame; when given, the
+    pair stream is LEFT-SEMI-joined against it BEFORE the count aggregation,
+    so the verify shuffle carries only candidate pairs (the LSH point:
+    verification cost scales with candidates, not with all co-shingled
+    pairs).  Output is identical to verifying everything and intersecting
+    afterwards."""
     pairs = groups.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
         "y -> struct(x AS id1, y AS id2))))")).alias("p")) \
         .select("p.id1", "p.id2")
+    if restrict_to is not None:
+        pairs = pairs.join(restrict_to, ["id1", "id2"], "left_semi")
     common = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c"))
     counts = _filtered_shingles(groups).groupBy("doc_id") \
         .agg(F.count(F.lit(1)).alias("n"))
@@ -218,13 +227,16 @@ def minhash_lsh_pairs(spark, sf_dir):
     """
     aug = augmented_docs(spark, sf_dir)
     groups = _shingle_groups(aug).cache()
-    sh = _filtered_shingles(groups)
+    # md5 ONCE per distinct shingle (on the group row, before the explode) —
+    # not once per (doc, shingle) occurrence
+    sh = groups.withColumn("h", F.md5("shingle")) \
+        .select(F.explode("ids").alias("doc_id"), "h")
     # all K band minima in ONE wide aggregation (map-side partial combine,
     # no K-fold row explode through the shuffle), then unpivot to long form
     rots = [F.min(F.expr(
         f"concat(substr(h, {4 * k + 1}, {32 - 4 * k}), substr(h, 1, {4 * k}))"
     )).alias(f"m{k}") for k in range(MINHASH_K)]
-    sigw = sh.withColumn("h", F.md5("shingle")).groupBy("doc_id").agg(*rots)
+    sigw = sh.groupBy("doc_id").agg(*rots)
     sig = sigw.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"m{k}") for k in range(MINHASH_K)]))
@@ -234,8 +246,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     cand = (a.join(b, ["k", "minhash"])
             .where(F.col("id1") < F.col("id2"))
             .select("id1", "id2").distinct())
-    verified = _jaccard_from_groups(groups)
-    return cand.join(verified, ["id1", "id2"], "inner")
+    # verify ONLY the LSH candidates (restrict_to semi-join) — identical
+    # output to verify-all + intersect, but the verify shuffle is O(cand)
+    return _jaccard_from_groups(groups, restrict_to=cand)
 
 
 ORACLE_MINHASH = f"""
