@@ -25,7 +25,8 @@ from pyspark.sql.window import Window
 from .relational import t
 
 __all__ = ["brute_force_topk", "lsh_bucketed_topk", "ivf_topk",
-           "embedding_cosine_dups",
+           "embedding_cosine_dups", "embedding_cosine_dups_lsh",
+           "cosine_dups_recall",
            "QUERIES", "ORACLES"]
 
 N_QUERIES = 10      # vec_id < 10 are the query vectors
@@ -230,10 +231,51 @@ SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def embedding_cosine_dups(spark, sf_dir):
-    """Near-duplicate vector pairs: cosine >= 0.95, brute force with id1<id2.
-    (At 100 TB this runs per LSH bucket; here the exact form is the oracle.)"""
+def _aug_emb(spark, sf_dir):
+    """embeddings + PLANTED near-duplicates (the synthetic vectors are
+    near-orthogonal — max pairwise cosine ~0.6 — so without planting, the
+    near-dup operators would be gated on empty output).  For every
+    ``vec_id % 20 == 0``, vector ``vec_id + 100000`` is the same vector
+    with each component scaled by ``1 + amp * c_d``, where
+    ``c_d = ((d * 2654435761) % 13 - 6) / 6`` is a fixed per-dimension
+    pseudo-random factor in [-1, 1] and ``amp = (floor(vec_id/20) % 5 + 1)
+    * 0.2`` cycles through five magnitudes — the planted cosines land at
+    ~{0.993, 0.974, 0.945, 0.91, 0.87}, deliberately straddling the 0.95
+    threshold so the predicate genuinely filters.  Identical arithmetic in
+    the DuckDB oracle (AUG_EMB_SQL)."""
     emb = _emb(spark, sf_dir)
+    amp = ((F.floor(F.col("vec_id") / 20) % 5 + 1) * 0.2)
+    planted = (emb.where(F.col("vec_id") % 20 == 0)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform(
+                           "embedding",
+                           lambda x, d: x * (1.0 + amp *
+                                             ((d.cast("bigint") * 2654435761)
+                                              % 13 - 6) / 6.0))
+                       .alias("embedding")))
+    return emb.unionByName(planted)
+
+
+AUG_EMB_SQL = """
+embd AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             (x, di) -> x * (1.0 + ((CAST(floor(vec_id / 20) AS BIGINT) % 5 + 1) * 0.2)
+                             * (((di - 1) * 2654435761) % 13 - 6) / 6.0))
+           AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+"""
+
+
+def embedding_cosine_dups(spark, sf_dir):
+    """Near-duplicate vector pairs: cosine >= 0.95, brute force with id1<id2,
+    over the planted-dup augmented table (:func:`_aug_emb`).
+    (At 100 TB this runs per LSH bucket — :func:`embedding_cosine_dups_lsh`;
+    here the exact form is the oracle twin.)"""
+    emb = _aug_emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
     return (a.crossJoin(b).where(F.col("id1") < F.col("id2"))
@@ -243,16 +285,114 @@ def embedding_cosine_dups(spark, sf_dir):
 
 
 ORACLE_COS_DUPS = f"""
-WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+WITH {AUG_EMB_SQL}
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        ROUND(list_dot_product(a.embedding, b.embedding) /
              (sqrt(list_dot_product(a.embedding, a.embedding)) *
               sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos
 FROM embd a JOIN embd b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding, b.embedding) /
-      (sqrt(list_dot_product(a.embedding, a.embedding)) *
-       sqrt(list_dot_product(b.embedding, b.embedding))) >= {DUP_COS}
+WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= {DUP_COS}
 """
+
+
+# --- banded-LSH cosine near-dups (the 100 TB path for cosine_dups) ----------
+
+CD_BITS = 6     # sign bits per hash table
+CD_TABLES = 4   # tables; 24 planes total.  For cos >= 0.95 (theta <= 18.2°)
+#                 P[plane splits pair] = theta/pi ~ 0.101, per-table collision
+#                 (1-0.101)^6 ~ 0.53, recall over 4 tables ~ 1-(1-0.53)^4 ~ 0.95
+
+
+def embedding_cosine_dups_lsh(spark, sf_dir):
+    """Near-duplicate pairs via BANDED hyperplane LSH + exact verify — the
+    production form of :func:`embedding_cosine_dups` (whose all-pairs cross
+    join is the small-scale oracle twin only).
+
+    ``CD_TABLES`` independent hash tables of ``CD_BITS`` sign bits each:
+    a candidate pair must collide in at least one table; every candidate is
+    then verified with exact cosine >= ``DUP_COS``.  Planes reuse the
+    md5-derived components of :func:`lsh_bucketed_topk`, so the DuckDB
+    oracle reproduces the exact same tables and the result is
+    hash-checkable (output = true dups that collide somewhere: recall ~95%
+    at the 0.95 threshold by the banding arithmetic above — measured
+    against the exact twin by :func:`cosine_dups_recall`).
+
+    Scale: the |V|² cross join never materializes — candidates come from
+    equi-joins on (table, bucket); the verify step touches only candidate
+    rows.  Bucket skew (dense regions) is AQE-splittable because the join
+    key is the bucket id."""
+    emb = _aug_emb(spark, sf_dir)
+    n_planes = CD_BITS * CD_TABLES
+    comp = (emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+            .crossJoin(spark.range(n_planes).select(F.col("id").alias("p")))
+            .withColumn("w", _plane_component()))
+    proj = (comp.groupBy("vec_id", "p")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("proj")))
+    bucket = (proj
+              .withColumn("tbl", F.floor(F.col("p") / CD_BITS).cast("int"))
+              .withColumn("bit", (F.col("proj") > 0).cast("long"))
+              .groupBy("vec_id", "tbl")
+              .agg(F.sum(F.col("bit")
+                         * F.pow(F.lit(2.0), F.col("p") % CD_BITS)
+                         .cast("long")).alias("bucket")))
+    a = bucket.select(F.col("vec_id").alias("id1"), "tbl", "bucket")
+    b = bucket.select(F.col("vec_id").alias("id2"), "tbl", "bucket")
+    cand = (a.join(b, ["tbl", "bucket"])
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct())
+    v1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    v2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (cand.join(v1, "id1").join(v2, "id2")
+            .select("id1", "id2",
+                    F.round(_cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+            .where(F.col("cos") >= DUP_COS))
+
+
+ORACLE_COS_DUPS_LSH = f"""
+WITH {AUG_EMB_SQL},
+comp AS (
+  SELECT vec_id, p, d, x,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 8.5) AS w
+  FROM (SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding) AS x
+        FROM embd),
+       UNNEST(range(0, {CD_BITS * CD_TABLES})) AS pp(p)),
+proj AS (SELECT vec_id, p, SUM(x * w) AS proj FROM comp GROUP BY vec_id, p),
+bucket AS (
+  SELECT vec_id, CAST(floor(p / {CD_BITS}) AS INT) AS tbl,
+         SUM(CASE WHEN proj > 0 THEN CAST(POW(2.0, p % {CD_BITS}) AS BIGINT)
+                  ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bucket a JOIN bucket b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id1, c.id2,
+       ROUND(list_dot_product(e1.embedding, e2.embedding) /
+             (sqrt(list_dot_product(e1.embedding, e1.embedding)) *
+              sqrt(list_dot_product(e2.embedding, e2.embedding))), 6) AS cos
+FROM cand c
+JOIN embd e1 ON e1.vec_id = c.id1
+JOIN embd e2 ON e2.vec_id = c.id2
+WHERE ROUND(list_dot_product(e1.embedding, e2.embedding) /
+            (sqrt(list_dot_product(e1.embedding, e1.embedding)) *
+             sqrt(list_dot_product(e2.embedding, e2.embedding))), 6) >= {DUP_COS}
+"""
+
+
+def cosine_dups_recall(spark, sf_dir) -> float:
+    """Recall of the banded-LSH near-dup path vs the exact all-pairs twin
+    (driver-side over the tiny dup sets)."""
+    exact = {(r.id1, r.id2) for r in embedding_cosine_dups(spark, sf_dir).collect()}
+    if not exact:
+        return 1.0
+    lsh = {(r.id1, r.id2)
+           for r in embedding_cosine_dups_lsh(spark, sf_dir).collect()}
+    return len(exact & lsh) / len(exact)
 
 
 # --- IVF with Lloyd-refined centroids ---------------------------------------
@@ -410,6 +550,7 @@ QUERIES = {
     "sim_ivf_topk": ivf_topk,
     "sim_ivf_lloyd_topk": ivf_lloyd_topk,
     "sim_cosine_dups": embedding_cosine_dups,
+    "sim_cosine_dups_lsh": embedding_cosine_dups_lsh,
 }
 
 ORACLES = {
@@ -418,4 +559,5 @@ ORACLES = {
     "sim_ivf_topk": ORACLE_IVF,
     "sim_ivf_lloyd_topk": ORACLE_IVF_LLOYD,
     "sim_cosine_dups": ORACLE_COS_DUPS,
+    "sim_cosine_dups_lsh": ORACLE_COS_DUPS_LSH,
 }

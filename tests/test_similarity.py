@@ -51,3 +51,23 @@ def test_ivf_lloyd_refinement(spark, sf_mid):
     assert 0.0 < recall["ivf_lloyd"] <= 1.0
     assert 0.0 < recall["ivf_seeded"] <= 1.0
     print("recall@k:", recall)
+
+
+def test_cosine_dups_lsh_subset_and_recall(spark, sf_mid):
+    """Banded-LSH near-dups: every emitted pair is a true dup with the exact
+    cosine (precision 1.0 by construction — candidates are verified), and
+    recall vs the all-pairs twin matches the banding arithmetic (~0.95
+    expected for cos>=0.95 with 4 tables x 6 bits)."""
+    from nmalign_spark.operators.similarity import (cosine_dups_recall,
+                                                    embedding_cosine_dups,
+                                                    embedding_cosine_dups_lsh)
+    exact = _pairs(embedding_cosine_dups(spark, sf_mid).withColumnRenamed(
+        "id1", "qid").withColumnRenamed("id2", "nid"))
+    lsh = _pairs(embedding_cosine_dups_lsh(spark, sf_mid).withColumnRenamed(
+        "id1", "qid").withColumnRenamed("id2", "nid"))
+    assert set(lsh) <= set(exact)
+    for k in lsh:
+        assert abs(lsh[k] - exact[k]) < 1e-9
+    recall = cosine_dups_recall(spark, sf_mid)
+    assert 0.5 <= recall <= 1.0
+    print("cosine_dups_lsh recall:", recall, f"({len(lsh)}/{len(exact)})")
