@@ -477,6 +477,104 @@ FROM ordered
 """
 
 
+def k2_pagexml_merge(spark, sf_dir):
+    """K2 fidelity end-to-end: deterministic PAGE-XML pages (flat lines
+    with @conf + a junk second TextEquiv) are segmented, force-aligned by
+    the REAL cogrouped kernel against marker-provable identical reference
+    lines (the u1 identity construction, so j = i and score = 1.0 are
+    SQL-derivable), merged back into the XML
+    (sinks/pagexml_merge.py — reference ocrd/cli.py:240-290), reserialized
+    and reparsed.  The oracle reconstructs every TextEquiv of every line:
+    the inserted @index=0 (conf=score, dataType=other,
+    dataTypeDetails=GT/line%04d), the renumbered original (@index=1, the
+    generator's conf), and the junk equiv (@index=2) — insertion position,
+    renumbering, details naming and the serialize/parse roundtrip are all
+    under the hash (the region re-roll runs too; its values are gated
+    separately by ``a4_hierarchy_rollup``)."""
+    import pandas as pd
+
+    from ..operators.align import align_cogrouped
+    from ..sinks.pagexml_merge import merge_pages_df, parse_line_equivs
+    from ..sources.pagexml import make_page_xml, pagexml_segments_df
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                lines = [" ".join(words[j * 5:j * 5 + 5]) + f" #{j}"
+                         for j in range((len(words) - 1) // 5 + 1)]
+                xml = make_page_xml(
+                    lines, junk_equiv=True,
+                    confs=[(8 + j % 5) / 16 for j in range(len(lines))])
+                rows.append((f"pagexml://{int(doc_id)}", xml.encode()))
+            yield pd.DataFrame(rows, columns=["url", "xml"])
+
+    pages = docs.mapInPandas(gen, schema="url string, xml binary")
+    cand = pagexml_segments_df(pages, side=1) \
+        .select("url", "seq_no", "seg_text")
+    # a DISTINCT plan for the reference side: cogrouping a frame with
+    # itself dedupes the attribute set and the right group loses its columns
+    ref = pagexml_segments_df(pages, side=2) \
+        .select("url", "seq_no", "seg_text")
+    aligned = align_cogrouped(cand, ref, try_subseg=True)
+    merged = merge_pages_df(pages, aligned, other_grp="GT")
+
+    def parse_back(batches):
+        for pdf in batches:
+            rows = []
+            for url, xml_b in zip(pdf["url"], pdf["xml"]):
+                for (lid, pos, idx, text, conf, dt, dtd) \
+                        in parse_line_equivs(xml_b):
+                    # absent attributes as sentinels, not NULLs: the gate
+                    # sorts rows by value, and NULL ordering is the one
+                    # thing engines/compare layers disagree on
+                    rows.append((url, lid, pos, idx, text,
+                                 -1.0 if conf is None else conf,
+                                 dt or "", dtd or ""))
+            yield pd.DataFrame(rows, columns=[
+                "url", "line_id", "pos", "te_index", "unicode", "conf",
+                "data_type", "details"])
+
+    return merged.mapInPandas(
+        parse_back,
+        schema=("url string, line_id string, pos int, te_index int, "
+                "unicode string, conf double, data_type string, "
+                "details string"))
+
+
+ORACLE_K2_MERGE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+l AS (
+  SELECT doc_id, CAST(j AS INT) AS j,
+         array_to_string(list_slice(toks, j * 5 + 1, j * 5 + 5), ' ')
+           || ' #' || j AS line
+  FROM d, UNNEST(range(0, CAST(floor((len(toks) - 1) / 5) AS INT) + 1)) r(j)
+),
+equivs AS (
+  SELECT doc_id, j, line, 0 AS pos, 0 AS te_index, line AS unicode,
+         1.0 AS conf, 'other' AS data_type,
+         'GT/' || printf('line%04d', j) AS details
+  FROM l
+  UNION ALL
+  SELECT doc_id, j, line, 1, 1, line, (8 + j % 5) / 16.0, '', '' FROM l
+  UNION ALL
+  SELECT doc_id, j, line, 2, 2, 'JUNK-IGNORE', -1.0, '', '' FROM l
+)
+SELECT 'pagexml://' || CAST(doc_id AS VARCHAR) AS url,
+       printf('l%04d', j) AS line_id,
+       pos, te_index, unicode, conf, data_type, details
+FROM equivs
+"""
+
+
 def s7_mets_workspace(spark, sf_dir):
     """S7 fidelity: real METS workspace scan + zip_input_files pairing
     (ocrd/cli.py:48-108) over deterministic METS XML built from the
@@ -736,6 +834,7 @@ QUERIES = {
     "s4_pagexml_lines": s4_pagexml_lines,
     "s4_pdf_metrics": s4_pdf_metrics,
     "s7_mets_workspace": s7_mets_workspace,
+    "k2_pagexml_merge": k2_pagexml_merge,
     "u1_align_identity": u1_align_identity,
     "p1_normalize_chain": p1_normalize_chain,
     "p2_first_equiv": p2_first_equiv,
@@ -765,6 +864,7 @@ ORACLES = {
     "s4_pagexml_lines": ORACLE_S4_PAGEXML,
     "s4_pdf_metrics": ORACLE_S4_PDF_METRICS,
     "s7_mets_workspace": ORACLE_S7_METS,
+    "k2_pagexml_merge": ORACLE_K2_MERGE,
     "u1_align_identity": ORACLE_U1_IDENTITY,
     "p1_normalize_chain": ORACLE_P1,
     "p2_first_equiv": ORACLE_P2,

@@ -1,0 +1,226 @@
+"""K2 fidelity: the PAGE-XML merge-back sink — the reference's production
+output (``ocrd-nmalign-merge`` writes updated PAGE-XML per page).
+
+Faithful reimplementation of the merge step of
+/root/reference/nmalign/ocrd/cli.py:240-290 over stdlib ``xml.etree``:
+
+* every candidate TextLine gets its existing TextEquivs renumbered
+  ``@index=1..n`` in document order — even unmatched lines (the reference
+  renumbers before checking ``other_ind < 0``, cli.py:242-243);
+* each MATCHED line gets a new ``TextEquiv`` inserted first with
+  ``@index=0``, ``@conf=score``, ``@dataType='other'``,
+  ``@dataTypeDetails='<other_grp>/<other_line_id>'`` (cli.py:257-265);
+* on a sub-segment split the other line id gains a ``[beg:end]`` suffix and
+  the Unicode is the slice (cli.py:261-263) — i.e. exactly the aligner's
+  ``extracted`` column;
+* ``page_update_higher_textequiv_levels('line', ...)`` — region text is
+  re-rolled from the NEW line texts with join suppression
+  (operators/hierarchy.py ``rollup_page``, the tested A4/F9 kernel);
+* ``page_remove_lower_textequiv_levels('line', ...)`` — all Word children
+  are dropped (cli.py:448-449: ``line.Word = []``).
+
+Spark surface: :func:`merge_pages_df` — alignment rows are collected per
+url (one aggregation), joined to the XML pages, and the merge runs as a
+narrow ``mapInPandas`` (pure function of bytes + rows), yielding the
+output fileGrp's (url, xml) table — ``df.write``/``workspace.add_file``
+equivalent, transactional per partition like every other sink here.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from ..sources.pagexml import parse_page_hierarchy
+
+__all__ = ["merge_page_xml", "parse_line_equivs", "merge_pages_df"]
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _ns_of(root) -> str:
+    tag = root.tag
+    return tag[1:].split("}", 1)[0] if tag.startswith("{") else ""
+
+
+def _walk_lines(elem, lines):
+    """get_AllTextLines order (region's own lines before nested regions' —
+    sources/pagexml.py traversal)."""
+    if _local(elem.tag) == "TextRegion":
+        for child in elem:
+            if _local(child.tag) == "TextLine":
+                lines.append(child)
+        for child in elem:
+            if _local(child.tag) == "TextRegion":
+                _walk_lines(child, lines)
+        return
+    for child in elem:
+        _walk_lines(child, lines)
+
+
+def _fmt(x: float) -> str:
+    """Attribute formatting for conf values: shortest round-trip float
+    (generateDS serializes ``str(float)``)."""
+    return repr(float(x))
+
+
+def merge_page_xml(xml_bytes: bytes | str, matches, other_grp: str = "GT",
+                   line_id_of=None) -> bytes:
+    """Merge alignment results back into one PAGE-XML document.
+
+    ``matches``: iterable of ``(i, j, beg, end, score, extracted)`` rows —
+    the aligner's output columns for this url; ``i`` indexes the document's
+    TextLines in ``get_AllTextLines`` order, ``j`` the (filtered) reference
+    lines.  ``line_id_of``: optional ``j -> other line id`` mapping; default
+    is the reference's plaintext pseudo-line naming ``line%04d``
+    (cli.py:249-251).  Returns the serialized document.
+    """
+    if isinstance(xml_bytes, str):
+        xml_bytes = xml_bytes.encode("utf-8")
+    root = ET.fromstring(xml_bytes)
+    ns = _ns_of(root)
+    q = (lambda t: f"{{{ns}}}{t}") if ns else (lambda t: t)
+
+    lines: list = []
+    _walk_lines(root, lines)
+    by_i = {}
+    for i, j, beg, end, score, extracted in matches:
+        by_i[int(i)] = (int(j), int(beg), int(end), float(score), extracted)
+
+    for ind, line in enumerate(lines):
+        # renumber existing TextEquivs 1..n (document order) — ALL lines
+        n = 0
+        first_te = None
+        for child in line:
+            if _local(child.tag) == "TextEquiv":
+                n += 1
+                child.set("index", str(n))
+                if first_te is None:
+                    first_te = child
+        m = by_i.get(ind)
+        if m is None or m[0] < 0:
+            continue
+        j, beg, end, score, extracted = m
+        other_id = (line_id_of(j) if line_id_of else f"line{j:04d}")
+        if beg >= 0 and end >= 0:
+            other_id += f"[{beg}:{end}]"
+        te = ET.Element(q("TextEquiv"))
+        te.set("index", "0")
+        te.set("conf", _fmt(score))
+        te.set("dataType", "other")
+        te.set("dataTypeDetails", f"{other_grp}/{other_id}")
+        uni = ET.SubElement(te, q("Unicode"))
+        uni.text = extracted if extracted is not None else ""
+        # insert before the first existing TextEquiv (insert_TextEquiv_at(0));
+        # append at the end otherwise (schema puts TextEquiv last)
+        pos = (list(line).index(first_te) if first_te is not None
+               else len(list(line)))
+        line.insert(pos, te)
+
+    # page_remove_lower_textequiv_levels('line'): drop all Word children
+    for line in lines:
+        for word in [c for c in line if _local(c.tag) == "Word"]:
+            line.remove(word)
+
+    # page_update_higher_textequiv_levels('line'): re-roll region text from
+    # the updated lines.  Reuse the tested A4/F9 kernel on a re-parse of the
+    # modified tree, then write the results back by region id.
+    interim = ET.tostring(root, encoding="utf-8")
+    doc = parse_page_hierarchy(interim)
+    from ..operators.hierarchy import rollup_page
+    rollup_page(doc, level="line")
+    new_equiv: dict[str, tuple[str, float]] = {}
+
+    def collect(regions):
+        for r in regions:
+            new_equiv[r["id"]] = (r.get("text", ""), r.get("conf", 1.0))
+            collect(r.get("subregions", ()))
+
+    collect(doc.get("regions", ()))
+
+    def update_regions(elem):
+        if _local(elem.tag) == "TextRegion":
+            rid = elem.get("id") or ""
+            if rid in new_equiv:
+                for old in [c for c in elem
+                            if _local(c.tag) == "TextEquiv"]:
+                    elem.remove(old)
+                text, conf = new_equiv[rid]
+                te = ET.SubElement(elem, q("TextEquiv"))
+                te.set("conf", _fmt(conf))
+                uni = ET.SubElement(te, q("Unicode"))
+                uni.text = text
+        for child in elem:
+            update_regions(child)
+
+    update_regions(root)
+    if ns:
+        ET.register_namespace("", ns)
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True)
+
+
+def parse_line_equivs(xml_bytes: bytes | str):
+    """Merged-output reader (gate/test side): every TextEquiv of every
+    TextLine as ``(line_id, pos, index, unicode, conf, data_type,
+    data_type_details)`` in document order."""
+    if isinstance(xml_bytes, str):
+        xml_bytes = xml_bytes.encode("utf-8")
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return []
+    lines: list = []
+    _walk_lines(root, lines)
+    out = []
+    for line in lines:
+        pos = 0
+        for child in line:
+            if _local(child.tag) != "TextEquiv":
+                continue
+            text = ""
+            for sub in child:
+                if _local(sub.tag) == "Unicode":
+                    text = sub.text or ""
+                    break
+            conf = child.get("conf")
+            out.append((line.get("id") or "", pos,
+                        int(child.get("index", "-1")), text,
+                        None if conf is None else float(conf),
+                        child.get("dataType"), child.get("dataTypeDetails")))
+            pos += 1
+    return out
+
+
+def merge_pages_df(xml_pages_df, aligned_df, other_grp: str = "GT",
+                   xml_col: str = "xml", url_col: str = "url"):
+    """(url, xml) pages + aligner output -> merged (url, xml) table.
+
+    One aggregation collects each url's match rows (sorted by ``i`` for
+    determinism), one join attaches them to the page bytes, and the merge
+    itself is a narrow ``mapInPandas``."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = (aligned_df
+            .groupBy(F.col("url"))
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "i", "j", "beg", "end", "score", "extracted")))
+                .alias("matches")))
+    joined = xml_pages_df.select(F.col(url_col).alias("url"),
+                                 F.col(xml_col).alias("xml")) \
+        .join(rows, "url", "left")
+
+    def gen(batches):
+        for pdf in batches:
+            out_urls, out_xml = [], []
+            for url, xml_b, matches in zip(pdf["url"], pdf["xml"],
+                                           pdf["matches"]):
+                ms = [] if matches is None else [
+                    (m["i"], m["j"], m["beg"], m["end"], m["score"],
+                     m["extracted"]) for m in matches]
+                out_urls.append(url)
+                out_xml.append(merge_page_xml(xml_b, ms, other_grp))
+            yield pd.DataFrame({"url": out_urls, "xml": out_xml})
+
+    return joined.mapInPandas(gen, schema="url string, xml binary")

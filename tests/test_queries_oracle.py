@@ -34,9 +34,16 @@ def _norm(v):
     return v
 
 
+def _key(row):
+    # None-robust sort key (NULLs first, then by value) — equality still
+    # compares the original tuples
+    return tuple((v is not None, "" if v is None else str(type(v)), v)
+                 for v in row)
+
+
 def _rows(cols, data):
     idx = sorted(range(len(cols)), key=lambda k: cols[k])
-    return sorted(tuple(_norm(r[k]) for k in idx) for r in data)
+    return sorted((tuple(_norm(r[k]) for k in idx) for r in data), key=_key)
 
 
 ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
