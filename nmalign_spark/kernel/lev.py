@@ -383,6 +383,21 @@ def _partial_ratio_impl(s1: str, s2: str) -> ScoreAlignment:
     return res
 
 
+@_lru_cache(maxsize=4096)
+def _partial_ratio_cached(s1: str, s2: str):
+    """Memoized windowed scan as an IMMUTABLE tuple (score, src_start,
+    src_end, dest_start, dest_end).
+
+    The subseg kernel scores the same (needle, seg2) pair twice with
+    identical strings — once in the coarse ``cdist_partial_ratio`` gate
+    (align.py:181-184) and again in the exact ``partial_ratio_alignment``
+    pass (align.py:205) — so memoizing halves the windows work.  Callers
+    MUTATE their ``ScoreAlignment`` (span clamping, subseg.py), hence the
+    tuple: every caller constructs a fresh object."""
+    r = _partial_ratio_impl(s1, s2)
+    return (r.score, r.src_start, r.src_end, r.dest_start, r.dest_end)
+
+
 def partial_ratio(s1: str, s2: str) -> float:
     """``fuzz.partial_ratio`` equivalent on the 0–100 scale (align.py:6,181)."""
     return partial_ratio_alignment(s1, s2).score
@@ -405,13 +420,12 @@ def partial_ratio_alignment(s1: str, s2: str, processor=None) -> ScoreAlignment:
     if len1 == 0 or len2 == 0:
         return ScoreAlignment(0.0, 0, len1, 0, min(len1, len2))
     if len1 <= len2:
-        res = _partial_ratio_impl(s1, s2)
+        res = ScoreAlignment(*_partial_ratio_cached(s1, s2))
     else:
-        r = _partial_ratio_impl(s2, s1)
-        res = ScoreAlignment(r.score, r.dest_start, r.dest_end, r.src_start, r.src_end)
+        sc, ss, se, ds, de = _partial_ratio_cached(s2, s1)
+        res = ScoreAlignment(sc, ds, de, ss, se)
     if res.score != 100.0 and len1 == len2:
-        r2 = _partial_ratio_impl(s2, s1)
-        if r2.score > res.score:
-            res = ScoreAlignment(r2.score, r2.dest_start, r2.dest_end,
-                                 r2.src_start, r2.src_end)
+        sc, ss, se, ds, de = _partial_ratio_cached(s2, s1)
+        if sc > res.score:
+            res = ScoreAlignment(sc, ds, de, ss, se)
     return res
