@@ -118,14 +118,11 @@ def merge_page_xml(xml_bytes: bytes | str, matches, other_grp: str = "GT",
                else len(list(line)))
         line.insert(pos, te)
 
-    # page_remove_lower_textequiv_levels('line'): drop all Word children
-    for line in lines:
-        for word in [c for c in line if _local(c.tag) == "Word"]:
-            line.remove(word)
-
-    # page_update_higher_textequiv_levels('line'): re-roll region text from
-    # the updated lines.  Reuse the tested A4/F9 kernel on a re-parse of the
-    # modified tree, then write the results back by region id.
+    # page_update_higher_textequiv_levels('line') runs BEFORE the Word
+    # pruning (reference order, cli.py:278-279): the line->region join
+    # suppression inspects each line's words (cli.py:429-431), so the
+    # re-parse must still see them.  Reuse the tested A4/F9 kernel on a
+    # re-parse of the modified tree, then write the results back by id.
     interim = ET.tostring(root, encoding="utf-8")
     doc = parse_page_hierarchy(interim)
     from ..operators.hierarchy import rollup_page
@@ -155,6 +152,13 @@ def merge_page_xml(xml_bytes: bytes | str, matches, other_grp: str = "GT",
             update_regions(child)
 
     update_regions(root)
+
+    # page_remove_lower_textequiv_levels('line'): drop all Word children
+    # (cli.py:448-449), after the roll-up consumed them
+    for line in lines:
+        for word in [c for c in line if _local(c.tag) == "Word"]:
+            line.remove(word)
+
     if ns:
         ET.register_namespace("", ns)
     return ET.tostring(root, encoding="utf-8", xml_declaration=True)

@@ -72,9 +72,20 @@ def main() -> int:
     ap.add_argument("--against", default=None,
                     help="previous bench json (default: newest BENCH_r*.json)")
     ap.add_argument("--threshold", type=float, default=0.20)
+    ap.add_argument("--min-abs", type=float, default=0.5,
+                    help="flag a move only if it also exceeds this many "
+                         "seconds (sub-second queries are dominated by "
+                         "Spark job-submission overhead and host state; "
+                         "a 40%% move on a 0.5s query is noise)")
+    ap.add_argument("--replay", nargs="*", default=None,
+                    help="pool per-query minima from these previously "
+                         "printed canonical JSONs instead of running")
     args = ap.parse_args()
 
-    trials = [run_trial(i) for i in range(args.trials)]
+    if args.replay:
+        trials = [json.loads(Path(p).read_text()) for p in args.replay]
+    else:
+        trials = [run_trial(i) for i in range(args.trials)]
     base = trials[0]
     names = list(base["queries"])
     mins = {q: min(t["queries"][q] for t in trials if q in t["queries"])
@@ -84,9 +95,14 @@ def main() -> int:
     canonical = dict(base)
     canonical["queries"] = {q: mins[q] for q in names}
     canonical["value"] = round(sum(mins.values()), 3)
-    canonical["trials"] = args.trials
-    canonical["protocol"] = ("min-of-%d, fresh JVM per trial, warmup excluded"
-                             % args.trials)
+    if args.replay:
+        canonical["trials"] = sum(t.get("trials", 1) for t in trials)
+        canonical["protocol"] = ("pooled min over %d replayed canonical runs"
+                                 % len(trials))
+    else:
+        canonical["trials"] = args.trials
+        canonical["protocol"] = ("min-of-%d, fresh JVM per trial, warmup "
+                                 "excluded" % args.trials)
 
     prev = load_previous(args.against)
     rows, alerts = [], []
@@ -96,7 +112,7 @@ def main() -> int:
             old = prev[1][q]
             delta = (cur - old) / old if old else 0.0
             flag = ""
-            if abs(delta) > args.threshold:
+            if abs(delta) > args.threshold and abs(cur - old) > args.min_abs:
                 flag = "REGRESSION" if delta > 0 else "improvement"
                 alerts.append((q, old, cur, delta, flag))
             rows.append((q, old, cur, f"{delta:+.0%}", flag))
@@ -105,10 +121,11 @@ def main() -> int:
 
     md = ["# BENCH_COMPARE — per-query regression diff",
           "",
-          f"Protocol: min of {args.trials} full-suite trials, fresh JVM per "
-          f"trial (see BENCH.md for why min-of-N on this host). "
+          f"Protocol: {canonical['protocol']} (fresh JVM per trial; see "
+          f"BENCH.md for why min-of-N on this host). "
           f"Compared against `{prev[0] if prev else 'nothing (first run)'}` "
-          f"with a ±{args.threshold:.0%} alert threshold.",
+          f"with a ±{args.threshold:.0%} alert threshold "
+          f"(and > {args.min_abs}s absolute).",
           "",
           "| query | prev (s) | now min (s) | delta | flag | all trials (s) |",
           "|---|---|---|---|---|---|"]

@@ -76,6 +76,25 @@ class TestMerge:
         assert uni.text == "alpha beta\ngamma"
         assert float(te[0].get("conf")) == (0.75 + 0.5) / 2
 
+    def test_region_rollup_sees_join_relations_before_word_pruning(self):
+        """Reference order (cli.py:278-279): update-higher BEFORE
+        remove-lower — the line->region join suppression reads word ids
+        from Relation@type=join, so Words must still exist when the region
+        text is rolled."""
+        xml = make_hierarchy_xml([["Alpha", "Beta"], ["Gamma"]],
+                                 word_level=True, join_first_lines=True)
+        merged = merge_page_xml(xml, [(0, 0, -1, -1, 1.0, "alpha beta"),
+                                      (1, 1, -1, -1, 1.0, "gamma")])
+        assert b"<Word" not in merged
+        import xml.etree.ElementTree as ET
+        root = ET.fromstring(merged)
+        region = [e for e in root.iter() if e.tag.endswith("TextRegion")][0]
+        te = [c for c in region if c.tag.endswith("TextEquiv")][0]
+        uni = [c for c in te if c.tag.endswith("Unicode")][0]
+        # join between line 0's last word and line 1's first word
+        # suppresses the '\n' separator
+        assert uni.text == "alpha betagamma"
+
     def test_namespace_preserved(self):
         xml = make_page_xml(OCR)
         merged = merge_page_xml(xml, [(0, 0, -1, -1, 1.0, GT[0])])
