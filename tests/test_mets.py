@@ -130,6 +130,57 @@ class TestZip:
         assert workspace_duplicates(files_df, "OCR", "GT").count() == 0
 
 
+class TestAdversarial:
+    def test_structural_oddities(self):
+        # file without FLocat -> empty href; fptr to unknown FILEID ignored;
+        # nested fileGrp inherits the outer USE unless it has its own
+        xml = ('<?xml version="1.0"?>'
+               '<mets:mets xmlns:mets="http://www.loc.gov/METS/" '
+               'xmlns:xlink="http://www.w3.org/1999/xlink">'
+               '<mets:fileSec>'
+               '<mets:fileGrp USE="OUTER">'
+               '<mets:file ID="A" MIMETYPE="text/plain"/>'
+               '<mets:fileGrp USE="INNER">'
+               '<mets:file ID="B" MIMETYPE="text/plain">'
+               '<mets:FLocat xlink:href="b.txt"/></mets:file>'
+               '</mets:fileGrp>'
+               '</mets:fileGrp>'
+               '</mets:fileSec>'
+               '<mets:structMap TYPE="PHYSICAL"><mets:div TYPE="physSequence">'
+               '<mets:div TYPE="page" ID="P1">'
+               '<mets:fptr FILEID="A"/><mets:fptr FILEID="GHOST"/>'
+               '</mets:div></mets:div></mets:structMap></mets:mets>')
+        rows = parse_mets(xml)
+        by_id = {r[1]: r for r in rows}
+        assert by_id["A"] == ("OUTER", "A", "text/plain", "", "P1")
+        assert by_id["B"][0] == "INNER"
+        assert by_id["B"][4] is None
+
+    def test_undefined_entity_is_handled(self):
+        xml = simple_mets().replace("OCR/1.xml", "&bogus;")
+        assert parse_mets(xml) == []           # ET rejects; no exception
+
+    def test_fuzz_mutations_never_raise(self):
+        """Truncations, splices and byte flips of a valid METS must yield a
+        (possibly empty) row list, never an executor exception."""
+        import random
+        rng = random.Random(7)
+        base = simple_mets().encode()
+        for k in range(300):
+            blob = bytearray(base)
+            mode = k % 3
+            if mode == 0:
+                blob = blob[:rng.randrange(1, len(blob))]
+            elif mode == 1:
+                i, j = sorted(rng.randrange(len(blob)) for _ in range(2))
+                del blob[i:j]
+            else:
+                for _ in range(rng.randrange(1, 6)):
+                    blob[rng.randrange(len(blob))] = rng.randrange(256)
+            rows = parse_mets(bytes(blob))
+            assert isinstance(rows, list)
+
+
 class TestEndToEnd:
     def test_workspace_on_disk(self, spark, tmp_path):
         """Full OCR-D-shaped run: METS on disk -> binaryFile scan -> pairing
