@@ -254,12 +254,51 @@ def cdist_partial_ratio(queries: list[str], choices: list[str],
     """N×M matrix of ``fuzz.partial_ratio`` (0–100 scale).
 
     Mirrors align.py:181-184 (``scorer=partial_ratio, score_cutoff=50``):
-    scores below cutoff report 0.  Each pair runs the windowed scan below;
-    the per-window Indel DP is batched across all windows of the pair.
+    scores below cutoff report 0.
+
+    Batching: the windowed scans of ALL uncached pairs run in ONE pooled
+    bit-parallel pass (:func:`_window_sims_multi`) — one 64-step numpy loop
+    per cdist call instead of one per pair — then a second pooled pass for
+    the equal-length reversed orientations that the partial_ratio swap rule
+    requires.  Results (bit-identical to the per-pair path, asserted in
+    tests/test_kernel_lev.py) are inserted into the partial-ratio cache so
+    the exact ``partial_ratio_alignment`` phase of the subseg kernel reuses
+    them.
     """
     if processor is not None:
         queries = [processor(s) for s in queries]
         choices = [processor(s) for s in choices]
+
+    def batch_compute(keys) -> None:
+        """Score (needle, haystack) keys via the pooled scan + cache."""
+        todo = [k for k in keys if k not in _PR_CACHE]
+        fast, slow = [], []
+        for k in todo:
+            s1, s2 = k
+            windows = _pr_windows(s1, s2)
+            if not windows:
+                _pr_cache_put(k, (0.0, 0, len(s1), 0, len(s1)))
+            elif 1 <= len(s1) <= 64:
+                fast.append((k, windows))
+            else:
+                slow.append(k)
+        if fast:
+            sims_list = _window_sims_multi(
+                [(k[0], windows, k[1]) for k, windows in fast])
+            for (k, windows), sims in zip(fast, sims_list):
+                _pr_cache_put(k, _best_window(windows, sims, len(k[0])))
+        for k in slow:
+            _partial_ratio_cached(*k)
+
+    # orientation per pair (the partial_ratio swap rule): needle = shorter
+    pairs = [(q, c) for q in queries for c in choices]
+    batch_compute({(q, c) if len(q) <= len(c) else (c, q)
+                   for q, c in pairs if q and c})
+    # equal-length second orientation, needed when the first scan is < 100
+    batch_compute({(c, q) for q, c in pairs
+                   if q and c and len(q) == len(c)
+                   and _PR_CACHE.get((q, c), (0.0,))[0] != 100.0})
+
     out = np.zeros((len(queries), len(choices)), dtype=np.float32)
     for i, q in enumerate(queries):
         for j, c in enumerate(choices):
@@ -313,6 +352,24 @@ def _window_sims(s1: str, windows: list[tuple[int, int]], s2: str) -> np.ndarray
         return _window_sims_dp(s1, windows, s2)
     if n > 64:
         return _window_sims_dp(s1, windows, s2)
+    midx, lens = _window_mask(s1, windows, s2)
+    W = len(windows)
+    S = np.full(W, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    maxlen = midx.shape[1]
+    with np.errstate(over="ignore"):
+        for t in range(maxlen):
+            u = S & midx[:, t]
+            S = (S + u) | (S - u)
+    lcs = np.unpackbits((~S).view(np.uint8).reshape(W, 8),
+                        axis=1).sum(axis=1).astype(np.float64)
+    dist = n + lens - 2.0 * lcs
+    return 1.0 - dist / (n + lens)
+
+
+def _window_mask(s1: str, windows, s2: str):
+    """(W, maxlen) uint64 mask matrix + window lengths for the bit-parallel
+    scan: row w, column t holds needle-char bitmask of ``s2[start_w + t]``,
+    zero beyond the window's length (a zero mask is a no-op step)."""
     s2c, uniq, inv = _haystack_profile(s2)
     p1 = _encode(s1)
     M = np.zeros(len(uniq), dtype=np.uint64)
@@ -325,23 +382,53 @@ def _window_sims(s1: str, windows: list[tuple[int, int]], s2: str) -> np.ndarray
                          count=len(windows))
     lens = np.fromiter((en - st for st, en in windows), dtype=np.int64,
                        count=len(windows))
-    W = len(windows)
-    S = np.full(W, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     maxlen = int(lens.max())
-    # hoist all gathers out of the loop: (W, maxlen) mask matrix, zero
-    # beyond each window's length (a zero mask is a no-op step)
     pos = np.clip(starts[:, None] + np.arange(maxlen)[None, :], 0,
                   len(s2c) - 1)
     midx = M[inv[pos]]
     midx[np.arange(maxlen)[None, :] >= lens[:, None]] = np.uint64(0)
+    return midx, lens
+
+
+def _window_sims_multi(tasks) -> list[np.ndarray]:
+    """One bit-parallel scan over the pooled windows of MANY (s1, windows,
+    s2) tasks — the cross-pair batching of :func:`_window_sims` used by
+    ``cdist_partial_ratio`` (one 64-step loop per cdist call instead of one
+    per pair).  Lanes are padded to the global max window length with zero
+    masks (no-op steps), so every lane computes exactly what its
+    single-task call would: bit-identical results, asserted by
+    tests/test_kernel_lev.py.
+
+    Requires every task to have ``1 <= len(s1) <= 64`` and non-empty
+    windows (callers route the rest through :func:`_window_sims`)."""
+    per = [(_window_mask(s1, windows, s2), len(s1))
+           for s1, windows, s2 in tasks]
+    widths = [m.shape[0] for (m, _), _ in per]
+    total = sum(widths)
+    maxlen = max(m.shape[1] for (m, _), _ in per)
+    big = np.zeros((total, maxlen), dtype=np.uint64)
+    lens = np.empty(total, dtype=np.int64)
+    n1 = np.empty(total, dtype=np.int64)
+    off = 0
+    for ((midx, wlens), n), w in zip(per, widths):
+        big[off:off + w, :midx.shape[1]] = midx
+        lens[off:off + w] = wlens
+        n1[off:off + w] = n
+        off += w
+    S = np.full(total, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for t in range(maxlen):
-            u = S & midx[:, t]
+            u = S & big[:, t]
             S = (S + u) | (S - u)
-    lcs = np.unpackbits((~S).view(np.uint8).reshape(W, 8),
+    lcs = np.unpackbits((~S).view(np.uint8).reshape(total, 8),
                         axis=1).sum(axis=1).astype(np.float64)
-    dist = n + lens - 2.0 * lcs
-    return 1.0 - dist / (n + lens)
+    dist = n1 + lens - 2.0 * lcs
+    sims = 1.0 - dist / (n1 + lens)
+    out, off = [], 0
+    for w in widths:
+        out.append(sims[off:off + w])
+        off += w
+    return out
 
 
 def _partial_ratio_impl(s1: str, s2: str) -> ScoreAlignment:
@@ -356,8 +443,19 @@ def _partial_ratio_impl(s1: str, s2: str) -> ScoreAlignment:
     the determinism the reference's span arithmetic relies on
     (align.py:208-211).
     """
+    len1 = len(s1)
+    windows = _pr_windows(s1, s2)
+    if not windows:
+        return ScoreAlignment(0.0, 0, len1, 0, len1)
+    sims = _window_sims(s1, windows, s2)
+    sc, ss, se, ds, de = _best_window(windows, sims, len1)
+    return ScoreAlignment(sc, ss, se, ds, de)
+
+
+def _pr_windows(s1: str, s2: str) -> list[tuple[int, int]]:
+    """Candidate windows of the partial_ratio contract (see
+    :func:`_partial_ratio_impl`); requires ``len(s1) <= len(s2)``."""
     len1, len2 = len(s1), len(s2)
-    res = ScoreAlignment(0.0, 0, len1, 0, len1)
     charset = set(s1)
     windows: list[tuple[int, int]] = []
     for i in range(1, len1):                      # prefixes, gate: last char
@@ -369,21 +467,35 @@ def _partial_ratio_impl(s1: str, s2: str) -> ScoreAlignment:
     for i in range(len2 - len1 + 1, len2):        # suffixes, gate: first char
         if s2[i] in charset:
             windows.append((i, len2))
-    if not windows:
-        return res
-    sims = _window_sims(s1, windows, s2)
+    return windows
+
+
+def _best_window(windows, sims, len1: int):
+    """First-strictly-best window scan -> result tuple (score 0-100,
+    src_start, src_end, dest_start, dest_end)."""
     best = 0.0
+    ds, de = 0, len1
     for (st, en), sim in zip(windows, sims):
         if sim > best:
             best = float(sim)
-            res.dest_start, res.dest_end = st, en
+            ds, de = st, en
             if best == 1.0:
                 break
-    res.score = best * 100.0
-    return res
+    return (best * 100.0, 0, len1, ds, de)
 
 
-@_lru_cache(maxsize=4096)
+_PR_CACHE: "dict[tuple[str, str], tuple]" = {}
+_PR_CACHE_MAX = 4096
+
+
+def _pr_cache_put(key, val) -> None:
+    _PR_CACHE[key] = val
+    if len(_PR_CACHE) > _PR_CACHE_MAX:
+        # drop the oldest insertion (dicts preserve order) — cheap
+        # near-LRU without per-hit reordering
+        _PR_CACHE.pop(next(iter(_PR_CACHE)))
+
+
 def _partial_ratio_cached(s1: str, s2: str):
     """Memoized windowed scan as an IMMUTABLE tuple (score, src_start,
     src_end, dest_start, dest_end).
@@ -391,11 +503,17 @@ def _partial_ratio_cached(s1: str, s2: str):
     The subseg kernel scores the same (needle, seg2) pair twice with
     identical strings — once in the coarse ``cdist_partial_ratio`` gate
     (align.py:181-184) and again in the exact ``partial_ratio_alignment``
-    pass (align.py:205) — so memoizing halves the windows work.  Callers
-    MUTATE their ``ScoreAlignment`` (span clamping, subseg.py), hence the
-    tuple: every caller constructs a fresh object."""
-    r = _partial_ratio_impl(s1, s2)
-    return (r.score, r.src_start, r.src_end, r.dest_start, r.dest_end)
+    pass (align.py:205) — so memoizing halves the windows work; the coarse
+    gate also inserts its batched results here (``_pr_cache_put``).
+    Callers MUTATE their ``ScoreAlignment`` (span clamping, subseg.py),
+    hence the tuple: every caller constructs a fresh object."""
+    key = (s1, s2)
+    val = _PR_CACHE.get(key)
+    if val is None:
+        r = _partial_ratio_impl(s1, s2)
+        val = (r.score, r.src_start, r.src_end, r.dest_start, r.dest_end)
+        _pr_cache_put(key, val)
+    return val
 
 
 def partial_ratio(s1: str, s2: str) -> float:

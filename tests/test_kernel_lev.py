@@ -184,3 +184,30 @@ def test_window_sims_long_needle_fallback():
     want = _window_sims_dp(s1, windows, s2)
     assert np.allclose(got, want)
     assert got.max() == 1.0
+
+
+def test_cdist_partial_ratio_batched_equals_per_pair():
+    """The pooled _window_sims_multi path must be bit-identical to scoring
+    every pair individually (incl. equal-length double-orientation, >64-char
+    needles via the DP fallback, empties, unicode)."""
+    import random
+
+    import numpy as np
+
+    from nmalign_spark.kernel import lev
+
+    rng = random.Random(99)
+    alpha = "abcdefg ſüä"
+    def rs(lo, hi):
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(lo, hi)))
+    queries = [rs(0, 30) for _ in range(12)] + [rs(70, 90), ""]
+    choices = [rs(0, 30) for _ in range(6)] + [rs(70, 90), queries[0], ""]
+    got = lev.cdist_partial_ratio(queries, choices, score_cutoff=50)
+    lev._PR_CACHE.clear()
+    want = np.zeros((len(queries), len(choices)), dtype=np.float32)
+    for i, q in enumerate(queries):
+        for j, c in enumerate(choices):
+            lev._PR_CACHE.clear()     # force the unbatched scan per pair
+            s = lev.partial_ratio(q, c)
+            want[i, j] = 0.0 if s < 50 else s
+    assert np.array_equal(got, want)
