@@ -525,6 +525,32 @@ SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def ivf_planted_recall(spark, sf_dir) -> dict:
+    """Would the IVF index RETRIEVE a genuine near-duplicate?  For every
+    planted pair (v, v+100000) of :func:`_aug_emb`: recall = fraction where
+    the planted vector's best cell is among the ``N_PROBE`` probed cells of
+    its source — the retrieval question a dedup/IVF build is actually tuned
+    on (top-k recall over near-orthogonal random vectors is structurally
+    ~0 and measures nothing).  Driver-side over the tiny planted set."""
+    out = {}
+    emb = _aug_emb(spark, sf_dir)
+    for name, cent_fn in (
+            ("ivf_seeded", lambda e: _seed_centroids(e)),
+            ("ivf_lloyd", lambda e: _lloyd_refine(e, _seed_centroids(e)))):
+        cells = _assign_cells(emb, cent_fn(emb))
+        probe = {}
+        best = {}
+        for r in cells.where(F.col("r") <= N_PROBE).collect():
+            probe.setdefault(r.vec_id, set()).add(r.cid)
+            if r.r == 1:
+                best[r.vec_id] = r.cid
+        planted = [v for v in best if v >= 100000]
+        hits = sum(1 for v in planted
+                   if best[v] in probe.get(v - 100000, set()))
+        out[name] = hits / len(planted) if planted else 1.0
+    return out
+
+
 def ivf_recall_at_k(spark, sf_dir) -> dict:
     """recall@TOP_K of both IVF variants vs the exact brute force — the
     number an index build gets tuned on.  Driver-side only over the tiny

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Measure the recall of every approximate path against its exact twin and
+write QUALITY.md.  These are the numbers an index/dedup build is tuned on;
+the correctness gates prove the plans compute what they claim — this report
+records HOW MUCH the sub-quadratic paths give up, reproducibly.
+
+Run: python scripts/quality_report.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main(sf_dir: str) -> None:
+    from pyspark.sql import SparkSession
+
+    from nmalign_spark.operators import dedup, similarity
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    rows = []
+
+    # -- dedup: MinHash LSH candidates vs full shingle-Jaccard truth --------
+    exact_pairs = {(r.id1, r.id2) for r in
+                   dedup.ngram_jaccard_pairs(spark, sf_dir).collect()}
+    lsh_pairs = {(r.id1, r.id2) for r in
+                 dedup.minhash_lsh_pairs(spark, sf_dir).collect()}
+    rows.append((
+        "dedup_minhash_lsh vs dedup_ngram_jaccard",
+        f"{len(lsh_pairs)}/{len(exact_pairs)}",
+        len(lsh_pairs) / len(exact_pairs) if exact_pairs else 1.0,
+        f"K={dedup.MINHASH_K} one-row bands over md5-rotation minhashes; "
+        f"precision 1.0 (every candidate exact-verified at "
+        f"J>={dedup.JACCARD_MIN})"))
+
+    # -- embeddings: banded-LSH cosine near-dups vs all-pairs ---------------
+    r = similarity.cosine_dups_recall(spark, sf_dir)
+    n_exact = similarity.embedding_cosine_dups(spark, sf_dir).count()
+    rows.append((
+        "sim_cosine_dups_lsh vs sim_cosine_dups",
+        f"{round(r * n_exact)}/{n_exact}", r,
+        f"{similarity.CD_TABLES} tables x {similarity.CD_BITS} sign bits "
+        f"(expected ~0.95 at cos>={similarity.DUP_COS} by banding "
+        "arithmetic); precision 1.0 (exact verify)"))
+
+    # -- ANN top-k: IVF (seeded + Lloyd) and hyperplane LSH vs brute force --
+    ivf = similarity.ivf_recall_at_k(spark, sf_dir)
+
+    def topset(df):
+        out = {}
+        for row in df.collect():
+            out.setdefault(row["qid"], set()).add(row["nid"])
+        return out
+
+    exact_tk = topset(similarity.brute_force_topk(spark, sf_dir))
+    lsh_tk = topset(similarity.lsh_bucketed_topk(spark, sf_dir))
+    denom = sum(len(v) for v in exact_tk.values())
+    lsh_hits = sum(len(exact_tk[q] & lsh_tk.get(q, set())) for q in exact_tk)
+    planted = similarity.ivf_planted_recall(spark, sf_dir)
+    rows.append((
+        "IVF retrieves planted near-dup (seeded centroids)",
+        f"recall@{similarity.N_PROBE}-probe", planted["ivf_seeded"],
+        f"{similarity.N_CENTROIDS} cells: is the dup's cell among its "
+        "source's probed cells? (the retrieval question an IVF dedup "
+        "build is tuned on)"))
+    rows.append((
+        "IVF retrieves planted near-dup (Lloyd-refined)",
+        f"recall@{similarity.N_PROBE}-probe", planted["ivf_lloyd"],
+        f"{similarity.LLOYD_ITERS} Lloyd iterations on the same seeds — "
+        "refinement's effect measured, not assumed"))
+    rows.append((
+        "sim_ivf_topk vs sim_topk_cosine (context only)",
+        f"recall@{similarity.TOP_K}", ivf["ivf_seeded"],
+        "top-k over NEAR-ORTHOGONAL random vectors (max pairwise cos "
+        "~0.5): the 'true' neighbors are arbitrary, so this number "
+        "bounds nothing — kept for transparency"))
+    rows.append((
+        "sim_lsh_topk vs sim_topk_cosine (context only)",
+        f"{lsh_hits}/{denom}", lsh_hits / denom if denom else 1.0,
+        f"single {similarity.N_PLANES}-bit bucket, no multi-probe, same "
+        "caveat: structurally ~0 on orthogonal random data; genuinely "
+        "near vectors collide (see the planted rows above)"))
+
+    spark.stop()
+
+    md = ["# QUALITY — measured recall of the sub-quadratic paths",
+          "",
+          f"Input: `{sf_dir}`.  Every approximate operator is compared to "
+          "its exact oracle twin; every reported hit carries the true "
+          "score (re-ranking/verification is exact in all paths, so "
+          "precision is 1.0 by construction and recall is the only "
+          "trade-off).  Reproduce: `python scripts/quality_report.py`.",
+          "",
+          "| approximate vs exact | hits | recall | notes |",
+          "|---|---|---|---|"]
+    for name, hits, rec, note in rows:
+        md.append(f"| {name} | {hits} | {rec:.3f} | {note} |")
+    md += ["",
+           "Reading: the near-dup paths (the 100 TB dedup workhorses) keep "
+           "recall at or near the banding-arithmetic prediction while never "
+           "materializing a quadratic join; the ANN top-k variants trade "
+           "recall for pruning exactly as their index parameters predict, "
+           "and the Lloyd refinement's effect on recall is measured, not "
+           "assumed. All thresholds/knobs are module constants cited in "
+           "the table."]
+    (REPO / "QUALITY.md").write_text("\n".join(md) + "\n")
+    print("\n".join(md))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
