@@ -263,12 +263,14 @@ def run_scaling(trials: int = 4) -> dict:
             # own session => we can SIGKILL the whole process GROUP: killing
             # only the parent would orphan its spin children, which then
             # poison every later trial (learned the hard way)
-            ant = subprocess.Popen(
-                ["taskset", "-c", f"{cpus}-{HOST_CORES - 1}",
-                 sys.executable, str(REPO / "scripts" / "antagonist.py"),
-                 str(n_ant), "900"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                start_new_session=True)
+            ant = None
+            if n_ant > 0:
+                ant = subprocess.Popen(
+                    ["taskset", "-c", f"{cpus}-{HOST_CORES - 1}",
+                     sys.executable, str(REPO / "scripts" / "antagonist.py"),
+                     str(n_ant), "900"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    start_new_session=True)
             try:
                 cmd = ["taskset", "-c", f"0-{cpus - 1}",
                        sys.executable, str(REPO / "bench.py"), "--only-align",
@@ -276,8 +278,9 @@ def run_scaling(trials: int = 4) -> dict:
                 out = subprocess.run(cmd, capture_output=True, text=True,
                                      check=True, cwd=str(REPO))
             finally:
-                os.killpg(ant.pid, signal.SIGKILL)
-                ant.wait()
+                if ant is not None:
+                    os.killpg(ant.pid, signal.SIGKILL)
+                    ant.wait()
             last = [ln for ln in out.stdout.strip().splitlines()
                     if ln.startswith("{")][-1]
             all_runs[cpus].append(json.loads(last))

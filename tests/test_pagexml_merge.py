@@ -3,6 +3,9 @@ insertion + renumbering, split suffixes, Word pruning, region re-roll, and
 the Spark merge path end-to-end through the real cogrouped aligner."""
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from nmalign_spark.sinks.pagexml_merge import (merge_page_xml,
                                                merge_pages_df,
                                                parse_line_equivs)
@@ -100,6 +103,34 @@ class TestMerge:
         merged = merge_page_xml(xml, [(0, 0, -1, -1, 1.0, GT[0])])
         assert b"ns0:" not in merged
         assert b"http://schema.primaresearch.org/PAGE" in merged
+
+
+_line_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    min_size=0, max_size=40)
+
+
+class TestRoundtripProperty:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_line_text, min_size=1, max_size=6),
+           st.lists(_line_text, min_size=1, max_size=6))
+    def test_merge_roundtrip_any_unicode(self, ocr, gt):
+        """For ARBITRARY unicode line texts (XML-escaping, surrogates
+        excluded): merging identity matches and reparsing yields the GT
+        text at @index=0 of every matched line, byte-identical, and the
+        original text renumbered behind it."""
+        xml = make_page_xml(ocr)
+        n = min(len(ocr), len(gt))
+        matches = [(i, i, -1, -1, 1.0, gt[i]) for i in range(n)]
+        merged = merge_page_xml(xml, matches)
+        lines = by_line(parse_line_equivs(merged))
+        for i in range(len(ocr)):
+            tes = lines[f"l{i:04d}"]
+            if i < n:
+                assert tes[0][1] == 0 and tes[0][2] == gt[i]
+                assert tes[1][1] == 1 and tes[1][2] == ocr[i]
+            else:
+                assert tes[0][1] == 1 and tes[0][2] == ocr[i]
 
 
 class TestSparkMerge:
