@@ -197,34 +197,59 @@ def parse_line_equivs(xml_bytes: bytes | str):
 
 
 def merge_pages_df(xml_pages_df, aligned_df, other_grp: str = "GT",
-                   xml_col: str = "xml", url_col: str = "url"):
+                   xml_col: str = "xml", url_col: str = "url",
+                   ref_ids_df=None):
     """(url, xml) pages + aligner output -> merged (url, xml) table.
 
     One aggregation collects each url's match rows (sorted by ``i`` for
     determinism), one join attaches them to the page bytes, and the merge
-    itself is a narrow ``mapInPandas``."""
+    itself is a narrow ``mapInPandas``.
+
+    ``ref_ids_df``: optional (url, seq_no, line_id) — the other side's REAL
+    line ids keyed by original line number (a PAGE-XML partner,
+    ocrd/cli.py:244-245).  The aligner's ``line_no`` column resolves the
+    filtered index ``j`` back to the original line, whose id is used in
+    ``dataTypeDetails``; urls (or line numbers) without an entry fall back
+    to the plaintext pseudo-line naming ``line%04d`` (cli.py:249-251)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     rows = (aligned_df
             .groupBy(F.col("url"))
             .agg(F.array_sort(F.collect_list(F.struct(
-                "i", "j", "beg", "end", "score", "extracted")))
+                "i", "j", "line_no", "beg", "end", "score", "extracted")))
                 .alias("matches")))
     joined = xml_pages_df.select(F.col(url_col).alias("url"),
                                  F.col(xml_col).alias("xml")) \
         .join(rows, "url", "left")
+    if ref_ids_df is not None:
+        ids = (ref_ids_df
+               .groupBy("url")
+               .agg(F.collect_list(F.struct("seq_no", "line_id"))
+                    .alias("ref_ids")))
+        joined = joined.join(ids, "url", "left")
+    else:
+        joined = joined.withColumn("ref_ids", F.lit(None).cast(
+            "array<struct<seq_no:int,line_id:string>>"))
 
     def gen(batches):
         for pdf in batches:
             out_urls, out_xml = [], []
-            for url, xml_b, matches in zip(pdf["url"], pdf["xml"],
-                                           pdf["matches"]):
+            for url, xml_b, matches, ref_ids in zip(
+                    pdf["url"], pdf["xml"], pdf["matches"], pdf["ref_ids"]):
                 ms = [] if matches is None else [
                     (m["i"], m["j"], m["beg"], m["end"], m["score"],
                      m["extracted"]) for m in matches]
+                id_of_line = ({} if ref_ids is None else
+                              {r["seq_no"]: r["line_id"] for r in ref_ids})
+                j_to_id = {} if matches is None else {
+                    int(m["j"]): id_of_line.get(int(m["line_no"]))
+                    for m in matches if m["j"] >= 0}
+                line_id_of = (lambda j, d=j_to_id:
+                              d.get(j) or f"line{j:04d}")
                 out_urls.append(url)
-                out_xml.append(merge_page_xml(xml_b, ms, other_grp))
+                out_xml.append(merge_page_xml(xml_b, ms, other_grp,
+                                              line_id_of=line_id_of))
             yield pd.DataFrame({"url": out_urls, "xml": out_xml})
 
     return joined.mapInPandas(gen, schema="url string, xml binary")

@@ -1,0 +1,77 @@
+"""Full ocrd-nmalign-merge workspace flow on Spark: METS pairing ->
+distributed reads -> alignment -> merge-back -> METS/fileGrp export
+(plans/workspace.py), covering single/multi plaintext partners AND a
+PAGE-XML partner whose REAL line ids must appear in dataTypeDetails."""
+from __future__ import annotations
+
+from nmalign_spark.plans.workspace import align_workspace, export_workspace
+from nmalign_spark.sinks.pagexml_merge import parse_line_equivs
+from nmalign_spark.sources.mets import (MIMETYPE_PAGE, make_mets_xml,
+                                        mets_files_df, mets_workspaces_df,
+                                        zip_workspace_files)
+from nmalign_spark.sources.pagexml import make_page_xml, parse_page_lines
+
+TXT = "text/plain"
+GT = ["Was ist Aufklärung?", "Der Ausgang des Menschen",
+      "aus seiner selbst verschuldeten Unmündigkeit"]
+OCR = ["Was iſt Aufklaͤrung?", "Der Ausgang des Menſchen",
+       "aus ſeiner ſelbſt verſchuldeten Unmuͤndigkeit"]
+NORM = {"ſ": "s", "aͤ": "ä", "uͤ": "ü"}
+
+
+def build_workspace(tmp_path):
+    ws = tmp_path / "ws"
+    (ws / "OCR").mkdir(parents=True)
+    (ws / "GT").mkdir()
+    pages = []
+    for k, pid in enumerate(("PA", "PB", "PC")):
+        (ws / "OCR" / f"{pid}.xml").write_text(make_page_xml(OCR))
+        fs = [("OCR", f"O_{pid}", MIMETYPE_PAGE, f"OCR/{pid}.xml")]
+        if k == 0:                                  # one plaintext file
+            (ws / "GT" / f"{pid}.txt").write_text("\n".join(GT) + "\n")
+            fs.append(("GT", f"G_{pid}", TXT, f"GT/{pid}.txt"))
+        elif k == 1:                                # two, sorted-href order
+            (ws / "GT" / f"{pid}_a.txt").write_text("\n".join(GT[:2]) + "\n")
+            (ws / "GT" / f"{pid}_b.txt").write_text(GT[2] + "\n")
+            fs += [("GT", f"G_{pid}b", TXT, f"GT/{pid}_b.txt"),
+                   ("GT", f"G_{pid}a", TXT, f"GT/{pid}_a.txt")]
+        else:                                       # PAGE-XML partner
+            (ws / "GT" / f"{pid}.xml").write_text(make_page_xml(GT))
+            fs.append(("GT", f"G_{pid}", MIMETYPE_PAGE, f"GT/{pid}.xml"))
+        pages.append((pid, fs))
+    (ws / "mets.xml").write_text(make_mets_xml(pages))
+    return ws
+
+
+def test_workspace_flow(spark, tmp_path):
+    ws = build_workspace(tmp_path)
+    merged, pairs = align_workspace(spark, str(ws), "OCR", "GT",
+                                    normalization=NORM, try_subseg=False)
+    assert pairs.count() == 3
+    n = export_workspace(merged, str(ws), "OUT")
+    assert n == 3
+
+    for pid in ("PA", "PB", "PC"):
+        out = (ws / "OUT" / f"OUT_{pid}.xml").read_bytes()
+        # byte-identical extracted text per line, GT side wins
+        assert [t for _, t, _ in parse_page_lines(out)] == GT
+        equivs = parse_line_equivs(out)
+        idx0 = {lid: (text, dtd) for lid, _, idx, text, _, _, dtd in equivs
+                if idx == 0}
+        for i in range(3):
+            text, dtd = idx0[f"l{i:04d}"]
+            assert text == GT[i]
+            if pid == "PC":
+                # PAGE partner: REAL line ids (make_page_xml: l%04d)
+                assert dtd == f"GT/l{i:04d}"
+            else:
+                # plaintext pseudo-lines (cli.py:249-251: line%04d)
+                assert dtd == f"GT/line{i:04d}"
+
+    # METS updated: new fileGrp registered and pairable against OCR
+    files = mets_files_df(mets_workspaces_df(spark, str(ws / "mets.xml")))
+    out_pairs = zip_workspace_files(files, "OCR", "OUT")
+    got = {r.page_id: r for r in out_pairs.collect()}
+    assert set(got) == {"PA", "PB", "PC"}
+    assert got["PA"].other_is_page == 1
+    assert got["PA"].other_files == "OUT_PA"
