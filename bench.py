@@ -302,6 +302,8 @@ def run_scaling(trials: int = 4) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--trials", type=int, default=4,
+                    help="interleaved trials per level for --scaling")
     ap.add_argument("--only-align", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--pages-path", default=None)
@@ -310,7 +312,7 @@ def main():
         print(json.dumps(run_single(args.cpus, SF_DIR, args.pages_path)))
         return
     if args.scaling:
-        res = run_scaling()
+        res = run_scaling(trials=args.trials)
         print(json.dumps(res))
         (REPO / "BENCH_SCALING.json").write_text(json.dumps(res))
         md = REPO / "BENCH.md"

@@ -36,9 +36,13 @@ __all__ = ["align_workspace", "export_workspace"]
 def _blobs(spark, workspace_dir: str):
     """All files under the workspace as (rel href, content)."""
     prefix = "file:" + str(Path(workspace_dir).resolve()) + "/"
+    # hrefs are fileGrp-relative one level deep (the standard
+    # <grp>/<file> workspace layout); literal-replace via lit() so odd
+    # characters in the directory path can't break an expression string
     return (spark.read.format("binaryFile")
             .load(str(Path(workspace_dir).resolve()) + "/*/*")
-            .select(F.expr(f"replace(path, '{prefix}', '')").alias("href"),
+            .select(F.replace(F.col("path"), F.lit(prefix), F.lit(""))
+                    .alias("href"),
                     F.col("content")))
 
 
