@@ -5,16 +5,22 @@ merge-back -> workspace export with an updated METS.
 
 Reference surface: /root/reference/nmalign/ocrd/cli.py (the processor's
 ``process_workspace``/``process_page_file``).  A user of the reference
-points this at the same workspace directory and gets the same merged
-PAGE-XML output fileGrp; here every per-page step runs as a Spark task, so
-one driver can process millions of workspaces/pages (the reference caps at
-``OCRD_MAX_PARALLEL_PAGES`` processes on one host, conftest.py:79).
+points this at the same workspace directory (:func:`align_workspace`) — or
+at a whole corpus of workspaces (:func:`align_workspaces`) — and gets the
+same merged PAGE-XML output fileGrp; here every per-page step runs as a
+Spark task, so one driver can process millions of workspaces/pages (the
+reference caps at ``OCRD_MAX_PARALLEL_PAGES`` processes on one host,
+conftest.py:79).  Pages are keyed ``<workspace>#<page_id>`` throughout, so
+page ids repeated across workspaces (universal in OCR-D corpora:
+PHYS_0001 everywhere) never collide.
 
 Scale shape: two narrow ``mapInPandas`` parses (METS, PAGE) + one
-``binaryFile`` scan joined by href + one grouped sort for multi-file
-plaintext partners + the cogrouped align kernel + the merge kernel — the
-only shuffles are the (workspace, page_id)-keyed pairing aggregation, the
-href join, and the alignment cogroup, all on near-uniform keys.
+``binaryFile`` scan joined by (workspace, href) + one grouped sort for
+multi-file plaintext partners + the cogrouped align kernel + the merge
+kernel — the only shuffles are the pairing aggregation, the href join, and
+the alignment cogroup, all on near-uniform keys.  The per-workspace METS
+rewrite at export is a tiny serial commit per workspace (the METS is one
+shared XML document — same split as the reference's METS server).
 """
 
 from __future__ import annotations
@@ -30,37 +36,60 @@ from ..sources.mets import (MIMETYPE_PAGE, mets_files_df, mets_workspaces_df,
                             zip_workspace_files)
 from ..sources.pagexml import parse_page_lines, pagexml_segments_df
 
-__all__ = ["align_workspace", "export_workspace"]
+__all__ = ["align_workspace", "align_workspaces", "export_workspace",
+           "export_workspaces"]
+
+_SEP = "#"
 
 
-def _blobs(spark, workspace_dir: str):
-    """All files under the workspace as (rel href, content)."""
-    prefix = "file:" + str(Path(workspace_dir).resolve()) + "/"
-    # hrefs are fileGrp-relative one level deep (the standard
-    # <grp>/<file> workspace layout); literal-replace via lit() so odd
-    # characters in the directory path can't break an expression string
-    return (spark.read.format("binaryFile")
-            .load(str(Path(workspace_dir).resolve()) + "/*/*")
-            .select(F.replace(F.col("path"), F.lit(prefix), F.lit(""))
-                    .alias("href"),
-                    F.col("content")))
+def _single_frames(spark, workspace_dir: str):
+    """(ws_df, blobs_df) for ONE workspace directory: workspace key =
+    resolved dir; hrefs are fileGrp-relative one level deep (the standard
+    ``<grp>/<file>`` layout)."""
+    resolved = str(Path(workspace_dir).resolve())
+    ws = (mets_workspaces_df(spark, str(Path(workspace_dir) / "mets.xml"))
+          .withColumn("workspace", F.lit(resolved)))
+    prefix = "file:" + resolved + "/"
+    # literal-replace via lit() so odd characters in the directory path
+    # can't break an expression string
+    blobs = (spark.read.format("binaryFile").load(resolved + "/*/*")
+             .select(F.lit(resolved).alias("workspace"),
+                     F.replace(F.col("path"), F.lit(prefix), F.lit(""))
+                     .alias("href"),
+                     F.col("content")))
+    return ws, blobs
 
 
-def align_workspace(spark, workspace_dir: str, input_grp: str,
-                    other_grp: str, normalization=None, cutoff=None,
-                    try_subseg: bool = True):
-    """Run the full merge flow for one workspace directory (``mets.xml``
-    inside).  Returns (merged_df, pairs_df): merged (url=page_id, xml)
-    ready for :func:`export_workspace`, and the pairing table."""
-    ws = mets_workspaces_df(spark, str(Path(workspace_dir) / "mets.xml"))
+def _corpus_frames(spark, root: str):
+    """(ws_df, blobs_df) for a CORPUS layout ``<root>/<ws>/mets.xml`` +
+    ``<root>/<ws>/<grp>/<file>``: workspace key = ``file:``-less dir path
+    derived from each file's own path (no driver-side listing)."""
+    resolved = str(Path(root).resolve())
+    ws = (mets_workspaces_df(spark, resolved + "/*/mets.xml")
+          .withColumn("workspace",
+                      F.replace(F.replace(F.col("workspace"),
+                                          F.lit("/mets.xml"), F.lit("")),
+                                F.lit("file:"), F.lit(""))))
+    href = F.substring_index(F.col("path"), "/", -2)
+    wsdir = F.expr("substring(path, 6, length(path) - length("
+                   "substring_index(path, '/', -2)) - 6)")
+    blobs = (spark.read.format("binaryFile").load(resolved + "/*/*/*")
+             .select(wsdir.alias("workspace"), href.alias("href"),
+                     F.col("content")))
+    return ws, blobs
+
+
+def _align(ws, blobs, input_grp: str, other_grp: str, normalization=None,
+           cutoff=None, try_subseg: bool = True):
+    """Core flow over (workspace, mets) + (workspace, href, content)."""
     pairs = zip_workspace_files(mets_files_df(ws), input_grp, other_grp)
-    blobs = _blobs(spark, workspace_dir)
+    url = F.concat_ws(_SEP, "workspace", "page_id")
 
     page_xml = (pairs
-                .select(F.col("page_id").alias("url"), "page_file",
+                .select("workspace", url.alias("url"), "page_file",
                         F.col("page_href").alias("href"),
                         "other_is_page", "other_hrefs")
-                .join(blobs, "href")
+                .join(blobs, ["workspace", "href"])
                 .withColumnRenamed("content", "xml"))
 
     cand = pagexml_segments_df(page_xml, side=1) \
@@ -71,25 +100,25 @@ def align_workspace(spark, workspace_dir: str, input_grp: str,
     # concatenated splitlines of the sorted plaintext files; PAGE partners
     # go through the reference extraction order instead)
     other_files = (pairs
-                   .select(F.col("page_id").alias("url"), "other_is_page",
+                   .select("workspace", url.alias("url"), "other_is_page",
                            F.posexplode(F.split("other_hrefs", ","))
                            .alias("k", "href"))
-                   .join(blobs, "href"))
+                   .join(blobs, ["workspace", "href"]))
 
     def extract(key, pdf):
         import pandas as pd
-        url = key[0]
+        u = key[0]
         rows = []
         seq = 0
         for _, r in pdf.sort_values("k").iterrows():
             if r["other_is_page"]:
                 for lid, text, _conf in parse_page_lines(r["content"]):
-                    rows.append((url, seq, text, lid))
+                    rows.append((u, seq, text, lid))
                     seq += 1
             else:
                 for line in bytes(r["content"]).decode(
                         "utf-8", "replace").splitlines():
-                    rows.append((url, seq, line, None))
+                    rows.append((u, seq, line, None))
                     seq += 1
         return pd.DataFrame(rows, columns=["url", "seq_no", "seg_text",
                                            "line_id"])
@@ -102,46 +131,81 @@ def align_workspace(spark, workspace_dir: str, input_grp: str,
                               normalization=normalization, cutoff=cutoff,
                               try_subseg=try_subseg)
     merged = merge_pages_df(
-        page_xml.select("url", "xml", "page_file"), aligned,
+        page_xml.select("url", "xml"), aligned,
         other_grp=other_grp,
         ref_ids_df=refs.where(F.col("line_id").isNotNull())
         .select("url", "seq_no", "line_id"))
     return merged.join(page_xml.select("url", "page_file"), "url"), pairs
 
 
-def export_workspace(merged_df, workspace_dir: str, output_grp: str) -> int:
-    """Write the merged PAGE-XML files into ``<workspace>/<output_grp>/``
-    and register them in ``mets.xml`` (new fileGrp + one fptr per page div
-    — the ``workspace.add_file`` step, ocrd/cli.py:283-290).
+def align_workspace(spark, workspace_dir: str, input_grp: str,
+                    other_grp: str, normalization=None, cutoff=None,
+                    try_subseg: bool = True):
+    """Run the full merge flow for one workspace directory (``mets.xml``
+    inside).  Returns (merged_df, pairs_df): merged
+    (url=<workspace>#<page_id>, xml) ready for :func:`export_workspaces`,
+    and the pairing table."""
+    ws, blobs = _single_frames(spark, workspace_dir)
+    return _align(ws, blobs, input_grp, other_grp, normalization, cutoff,
+                  try_subseg)
 
-    Driver-side by design: a workspace's METS is ONE shared XML document —
-    the per-page compute is distributed, the per-workspace catalog update
-    is a tiny serial commit (same split as the reference's METS server).
-    Returns the number of pages written."""
-    out_dir = Path(workspace_dir) / output_grp
-    out_dir.mkdir(parents=True, exist_ok=True)
-    rows = merged_df.collect()
-    mets_path = Path(workspace_dir) / "mets.xml"
-    root = ET.fromstring(mets_path.read_bytes())
+
+def align_workspaces(spark, root: str, input_grp: str, other_grp: str,
+                     normalization=None, cutoff=None,
+                     try_subseg: bool = True):
+    """Same flow over a CORPUS of workspaces laid out
+    ``<root>/<ws>/mets.xml`` — one Spark job for all of them; page ids are
+    disambiguated by the workspace key."""
+    ws, blobs = _corpus_frames(spark, root)
+    return _align(ws, blobs, input_grp, other_grp, normalization, cutoff,
+                  try_subseg)
+
+
+def export_workspaces(merged_df, output_grp: str) -> int:
+    """Write merged PAGE-XML files into each workspace's
+    ``<output_grp>/`` and register them in its ``mets.xml`` (new fileGrp +
+    one fptr per page div — the ``workspace.add_file`` step,
+    ocrd/cli.py:283-290).  Workspace/page come from the row's url
+    (``<workspace>#<page_id>``).  Returns pages written."""
+    per_ws: dict[str, list] = {}
+    for r in merged_df.collect():
+        ws_dir, page_id = r.url.rsplit(_SEP, 1)
+        per_ws.setdefault(ws_dir, []).append((page_id, bytes(r.xml)))
+
     METS = "http://www.loc.gov/METS/"
     XLINK = "http://www.w3.org/1999/xlink"
     ET.register_namespace("mets", METS)
     ET.register_namespace("xlink", XLINK)
-    file_sec = root.find(f"{{{METS}}}fileSec")
-    grp = ET.SubElement(file_sec, f"{{{METS}}}fileGrp", {"USE": output_grp})
-    divs = {d.get("ID"): d for d in root.iter(f"{{{METS}}}div")
-            if d.get("TYPE") == "page"}
-    for r in rows:
-        file_id = f"{output_grp}_{r.url}"
-        href = f"{output_grp}/{file_id}.xml"
-        (Path(workspace_dir) / href).write_bytes(bytes(r.xml))
-        fe = ET.SubElement(grp, f"{{{METS}}}file",
-                           {"ID": file_id, "MIMETYPE": MIMETYPE_PAGE})
-        ET.SubElement(fe, f"{{{METS}}}FLocat",
-                      {"LOCTYPE": "OTHER", f"{{{XLINK}}}href": href})
-        if r.url in divs:
-            ET.SubElement(divs[r.url], f"{{{METS}}}fptr",
-                          {"FILEID": file_id})
-    mets_path.write_bytes(ET.tostring(root, encoding="utf-8",
-                                      xml_declaration=True))
-    return len(rows)
+    total = 0
+    for ws_dir, pages in per_ws.items():
+        out_dir = Path(ws_dir) / output_grp
+        out_dir.mkdir(parents=True, exist_ok=True)
+        mets_path = Path(ws_dir) / "mets.xml"
+        root = ET.fromstring(mets_path.read_bytes())
+        file_sec = root.find(f"{{{METS}}}fileSec")
+        grp = ET.SubElement(file_sec, f"{{{METS}}}fileGrp",
+                            {"USE": output_grp})
+        divs = {d.get("ID"): d for d in root.iter(f"{{{METS}}}div")
+                if d.get("TYPE") == "page"}
+        for page_id, xml in sorted(pages):
+            file_id = f"{output_grp}_{page_id}"
+            href = f"{output_grp}/{file_id}.xml"
+            (Path(ws_dir) / href).write_bytes(xml)
+            fe = ET.SubElement(grp, f"{{{METS}}}file",
+                               {"ID": file_id, "MIMETYPE": MIMETYPE_PAGE})
+            ET.SubElement(fe, f"{{{METS}}}FLocat",
+                          {"LOCTYPE": "OTHER", f"{{{XLINK}}}href": href})
+            if page_id in divs:
+                ET.SubElement(divs[page_id], f"{{{METS}}}fptr",
+                              {"FILEID": file_id})
+            total += 1
+        mets_path.write_bytes(ET.tostring(root, encoding="utf-8",
+                                          xml_declaration=True))
+    return total
+
+
+def export_workspace(merged_df, workspace_dir: str, output_grp: str) -> int:
+    """Single-workspace convenience wrapper over
+    :func:`export_workspaces` (``workspace_dir`` kept for call-site
+    clarity; the rows' urls carry the authoritative location)."""
+    return export_workspaces(merged_df, output_grp)

@@ -4,7 +4,10 @@ distributed reads -> alignment -> merge-back -> METS/fileGrp export
 PAGE-XML partner whose REAL line ids must appear in dataTypeDetails."""
 from __future__ import annotations
 
-from nmalign_spark.plans.workspace import align_workspace, export_workspace
+from nmalign_spark.plans.workspace import (align_workspace,
+                                           align_workspaces,
+                                           export_workspace,
+                                           export_workspaces)
 from nmalign_spark.sinks.pagexml_merge import parse_line_equivs
 from nmalign_spark.sources.mets import (MIMETYPE_PAGE, make_mets_xml,
                                         mets_files_df, mets_workspaces_df,
@@ -19,24 +22,30 @@ OCR = ["Was iſt Aufklaͤrung?", "Der Ausgang des Menſchen",
 NORM = {"ſ": "s", "aͤ": "ä", "uͤ": "ü"}
 
 
-def build_workspace(tmp_path):
-    ws = tmp_path / "ws"
+def noisy(lines):
+    """OCR-style variant that NORM maps back onto the original."""
+    return [ln.replace("s", "ſ").replace("ä", "aͤ").replace("ü", "uͤ")
+            for ln in lines]
+
+
+def build_workspace(tmp_path, name="ws", gt=GT):
+    ws = tmp_path / name
     (ws / "OCR").mkdir(parents=True)
     (ws / "GT").mkdir()
     pages = []
     for k, pid in enumerate(("PA", "PB", "PC")):
-        (ws / "OCR" / f"{pid}.xml").write_text(make_page_xml(OCR))
+        (ws / "OCR" / f"{pid}.xml").write_text(make_page_xml(noisy(gt)))
         fs = [("OCR", f"O_{pid}", MIMETYPE_PAGE, f"OCR/{pid}.xml")]
         if k == 0:                                  # one plaintext file
-            (ws / "GT" / f"{pid}.txt").write_text("\n".join(GT) + "\n")
+            (ws / "GT" / f"{pid}.txt").write_text("\n".join(gt) + "\n")
             fs.append(("GT", f"G_{pid}", TXT, f"GT/{pid}.txt"))
         elif k == 1:                                # two, sorted-href order
-            (ws / "GT" / f"{pid}_a.txt").write_text("\n".join(GT[:2]) + "\n")
-            (ws / "GT" / f"{pid}_b.txt").write_text(GT[2] + "\n")
+            (ws / "GT" / f"{pid}_a.txt").write_text("\n".join(gt[:2]) + "\n")
+            (ws / "GT" / f"{pid}_b.txt").write_text(gt[2] + "\n")
             fs += [("GT", f"G_{pid}b", TXT, f"GT/{pid}_b.txt"),
                    ("GT", f"G_{pid}a", TXT, f"GT/{pid}_a.txt")]
         else:                                       # PAGE-XML partner
-            (ws / "GT" / f"{pid}.xml").write_text(make_page_xml(GT))
+            (ws / "GT" / f"{pid}.xml").write_text(make_page_xml(gt))
             fs.append(("GT", f"G_{pid}", MIMETYPE_PAGE, f"GT/{pid}.xml"))
         pages.append((pid, fs))
     (ws / "mets.xml").write_text(make_mets_xml(pages))
@@ -75,3 +84,25 @@ def test_workspace_flow(spark, tmp_path):
     assert set(got) == {"PA", "PB", "PC"}
     assert got["PA"].other_is_page == 1
     assert got["PA"].other_files == "OUT_PA"
+
+
+def test_multi_workspace_corpus(spark, tmp_path):
+    """Two workspaces with IDENTICAL page ids processed in one job: the
+    workspace#page_id keying keeps them apart, and each workspace's export
+    carries its own GT text."""
+    gt2 = ["Erster anderer Satz hier", "Zweiter ganz anderer Satz",
+           "Dritter völlig anderer Satz"]
+    root = tmp_path / "corpus"
+    build_workspace(root, "ws1", gt=GT)
+    build_workspace(root, "ws2", gt=gt2)
+    merged, pairs = align_workspaces(spark, str(root), "OCR", "GT",
+                                     normalization=NORM, try_subseg=False)
+    assert pairs.count() == 6
+    urls = [r.url for r in merged.select("url").collect()]
+    assert len(urls) == 6 and len(set(urls)) == 6
+    n = export_workspaces(merged, "OUT")
+    assert n == 6
+    for name, want in (("ws1", GT), ("ws2", gt2)):
+        for pid in ("PA", "PB", "PC"):
+            out = (root / name / "OUT" / f"OUT_{pid}.xml").read_bytes()
+            assert [t for _, t, _ in parse_page_lines(out)] == want
