@@ -106,6 +106,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["text_quality"] = lambda: textstats.quality_scores(spark, sf_dir)
         queries["mm_media_features"] = lambda: multimodal.media_features(spark, sf_dir)
         queries["s4_pdf_roundtrip"] = lambda: relational.s4_pdf_roundtrip(spark, sf_dir)
+        queries["dedup_ngram_jaccard"] = lambda: dedup.ngram_jaccard_pairs(spark, sf_dir)
+        queries["sim_cosine_dups_lsh"] = lambda: similarity.embedding_cosine_dups_lsh(spark, sf_dir)
+        queries["s7_mets_workspace"] = lambda: relational.s7_mets_workspace(spark, sf_dir)
     except ImportError:
         pass
 
