@@ -69,12 +69,17 @@ def merge_page_xml(xml_bytes: bytes | str, matches, other_grp: str = "GT",
                    line_id_of=None) -> bytes:
     """Merge alignment results back into one PAGE-XML document.
 
-    ``matches``: iterable of ``(i, j, beg, end, score, extracted)`` rows —
-    the aligner's output columns for this url; ``i`` indexes the document's
-    TextLines in ``get_AllTextLines`` order, ``j`` the (filtered) reference
-    lines.  ``line_id_of``: optional ``j -> other line id`` mapping; default
-    is the reference's plaintext pseudo-line naming ``line%04d``
-    (cli.py:249-251).  Returns the serialized document.
+    ``matches``: iterable of ``(i, j, beg, end, score, extracted)`` or
+    ``(i, j, line_no, beg, end, score, extracted)`` rows — the aligner's
+    output columns for this url; ``i`` indexes the document's TextLines in
+    ``get_AllTextLines`` order, ``j`` the (filtered) reference lines,
+    ``line_no`` the ORIGINAL pre-filter line number.  ``line_id_of``:
+    optional ``j -> other line id`` mapping; default is the reference's
+    plaintext pseudo-line naming ``line%04d`` keyed by the original
+    enumeration — ocrd/cli.py:213-215 assigns ids before the empty-line
+    deletion at cli.py:219-226, so surviving lines keep their pre-filter
+    numbers (``line_no`` here; falls back to ``j`` for legacy 6-tuples).
+    Returns the serialized document.
     """
     if isinstance(xml_bytes, str):
         xml_bytes = xml_bytes.encode("utf-8")
@@ -85,8 +90,14 @@ def merge_page_xml(xml_bytes: bytes | str, matches, other_grp: str = "GT",
     lines: list = []
     _walk_lines(root, lines)
     by_i = {}
-    for i, j, beg, end, score, extracted in matches:
-        by_i[int(i)] = (int(j), int(beg), int(end), float(score), extracted)
+    for m in matches:
+        if len(m) == 7:
+            i, j, line_no, beg, end, score, extracted = m
+        else:
+            i, j, beg, end, score, extracted = m
+            line_no = j
+        by_i[int(i)] = (int(j), int(line_no), int(beg), int(end),
+                        float(score), extracted)
 
     for ind, line in enumerate(lines):
         # renumber existing TextEquivs 1..n (document order) — ALL lines
@@ -101,8 +112,8 @@ def merge_page_xml(xml_bytes: bytes | str, matches, other_grp: str = "GT",
         m = by_i.get(ind)
         if m is None or m[0] < 0:
             continue
-        j, beg, end, score, extracted = m
-        other_id = (line_id_of(j) if line_id_of else f"line{j:04d}")
+        j, line_no, beg, end, score, extracted = m
+        other_id = (line_id_of(j) if line_id_of else f"line{line_no:04d}")
         if beg >= 0 and end >= 0:
             other_id += f"[{beg}:{end}]"
         te = ET.Element(q("TextEquiv"))
@@ -238,12 +249,16 @@ def merge_pages_df(xml_pages_df, aligned_df, other_grp: str = "GT",
             for url, xml_b, matches, ref_ids in zip(
                     pdf["url"], pdf["xml"], pdf["matches"], pdf["ref_ids"]):
                 ms = [] if matches is None else [
-                    (m["i"], m["j"], m["beg"], m["end"], m["score"],
-                     m["extracted"]) for m in matches]
+                    (m["i"], m["j"], m["line_no"], m["beg"], m["end"],
+                     m["score"], m["extracted"]) for m in matches]
                 id_of_line = ({} if ref_ids is None else
                               {r["seq_no"]: r["line_id"] for r in ref_ids})
+                # fallback ids use the ORIGINAL line number (reference
+                # assigns line%04d before empty-line deletion,
+                # ocrd/cli.py:213-226), never the filtered index j
                 j_to_id = {} if matches is None else {
-                    int(m["j"]): id_of_line.get(int(m["line_no"]))
+                    int(m["j"]): (id_of_line.get(int(m["line_no"]))
+                                  or f"line{int(m['line_no']):04d}")
                     for m in matches if m["j"] >= 0}
                 line_id_of = (lambda j, d=j_to_id:
                               d.get(j) or f"line{j:04d}")

@@ -43,6 +43,18 @@ class TestMerge:
         # the merged doc's unicode0 is now the GT text (byte-identical)
         assert [t for _, t, _ in parse_page_lines(merged)] == GT
 
+    def test_seven_tuple_uses_original_line_no(self):
+        """7-tuple matches carry the ORIGINAL pre-filter line number; the
+        fallback id must use it, not the filtered index j — the reference
+        assigns line%04d before the empty-line deletion (cli.py:213-226)."""
+        xml = make_page_xml(OCR)
+        matches = [(0, 0, 0, -1, -1, 1.0, GT[0]),
+                   (1, 1, 2, -1, -1, 1.0, GT[1])]
+        merged = merge_page_xml(xml, matches)
+        lines = by_line(parse_line_equivs(merged))
+        assert lines["l0000"][0][5] == "GT/line0000"
+        assert lines["l0001"][0][5] == "GT/line0002"
+
     def test_split_suffix_and_slice(self):
         xml = make_page_xml(OCR)
         long = "PREFIX " + GT[0] + " SUFFIX"
@@ -163,3 +175,29 @@ class TestSparkMerge:
                 assert tes[0][1] == 0 and tes[0][2] == GT[i]
                 assert tes[0][3] == 1.0
                 assert tes[0][5] == f"OCR-D-GT/line{i:04d}"
+
+    def test_blank_partner_line_keeps_original_numbering(self, spark):
+        """A blank partner line is deleted before alignment
+        (cli.py:219-226) but surviving lines keep their pre-filter
+        line%04d ids (assigned at cli.py:213-215): after the blank at
+        original position 1, filtered j=1 must surface as line0002."""
+        from nmalign_spark.operators.align import align_cogrouped
+        from nmalign_spark.sources.pagexml import pagexml_segments_df
+
+        gt_with_blank = [GT[0], "   ", GT[1], GT[2]]
+        pages = spark.createDataFrame(
+            [("p0", make_page_xml(OCR).encode())], "url string, xml binary")
+        cand = pagexml_segments_df(pages, side=1) \
+            .select("url", "seq_no", "seg_text")
+        ref = spark.createDataFrame(
+            [("p0", j, t) for j, t in enumerate(gt_with_blank)],
+            "url string, seq_no int, seg_text string")
+        norm = {"ſ": "s", "aͤ": "ä", "uͤ": "ü"}
+        aligned = align_cogrouped(cand, ref, normalization=norm,
+                                  try_subseg=False)
+        merged = merge_pages_df(pages, aligned, other_grp="GT")
+        xml = merged.collect()[0].xml
+        equivs = by_line(parse_line_equivs(xml))
+        want = ["line0000", "line0002", "line0003"]
+        for i in range(3):
+            assert equivs[f"l{i:04d}"][0][5] == f"GT/{want[i]}"
