@@ -85,12 +85,21 @@ def _align(ws, blobs, input_grp: str, other_grp: str, normalization=None,
     pairs = zip_workspace_files(mets_files_df(ws), input_grp, other_grp)
     url = F.concat_ws(_SEP, "workspace", "page_id")
 
+    # left join + loud failure: a file listed in METS but missing on disk
+    # must fail like the reference's open() would (ocrd/cli.py:211-212),
+    # not silently drop the page or shift the partner line numbering
+    missing_msg = F.concat(F.lit("file in METS missing on disk: "),
+                           F.col("workspace"), F.lit("/"), F.col("href"))
     page_xml = (pairs
                 .select("workspace", url.alias("url"), "page_file",
                         F.col("page_href").alias("href"),
                         "other_is_page", "other_hrefs")
-                .join(blobs, ["workspace", "href"])
-                .withColumnRenamed("content", "xml"))
+                .join(blobs, ["workspace", "href"], "left")
+                .withColumn("xml", F.when(
+                    F.col("content").isNull(),
+                    F.raise_error(missing_msg).cast("binary"))
+                    .otherwise(F.col("content")))
+                .drop("content"))
 
     cand = pagexml_segments_df(page_xml, side=1) \
         .select("url", "seq_no", "seg_text")
@@ -103,7 +112,7 @@ def _align(ws, blobs, input_grp: str, other_grp: str, normalization=None,
                    .select("workspace", url.alias("url"), "other_is_page",
                            F.posexplode(F.split("other_hrefs", ","))
                            .alias("k", "href"))
-                   .join(blobs, ["workspace", "href"]))
+                   .join(blobs, ["workspace", "href"], "left"))
 
     def extract(key, pdf):
         import pandas as pd
@@ -111,6 +120,10 @@ def _align(ws, blobs, input_grp: str, other_grp: str, normalization=None,
         rows = []
         seq = 0
         for _, r in pdf.sort_values("k").iterrows():
+            if r["content"] is None:
+                raise FileNotFoundError(
+                    f"partner file in METS missing on disk: "
+                    f"{r['workspace']}/{r['href']} (page {u})")
             if r["other_is_page"]:
                 for lid, text, _conf in parse_page_lines(r["content"]):
                     rows.append((u, seq, text, lid))
@@ -161,51 +174,122 @@ def align_workspaces(spark, root: str, input_grp: str, other_grp: str,
                   try_subseg)
 
 
-def export_workspaces(merged_df, output_grp: str) -> int:
+_METS_NS = "http://www.loc.gov/METS/"
+_XLINK_NS = "http://www.w3.org/1999/xlink"
+
+
+def _check_output_grp(ws_dir: str, output_grp: str, overwrite: bool):
+    """Raise FileExistsError if ``mets.xml`` already has a fileGrp with
+    this USE and ``overwrite`` is off — the reference's
+    ``workspace.add_file`` raises unless OCRD_EXISTING_OUTPUT=OVERWRITE
+    (ocrd/cli.py:283-290 via ocrd.Workspace)."""
+    mets_path = Path(ws_dir) / "mets.xml"
+    root = ET.fromstring(mets_path.read_bytes())
+    exists = any(g.get("USE") == output_grp
+                 for g in root.iter(f"{{{_METS_NS}}}fileGrp"))
+    if exists and not overwrite:
+        raise FileExistsError(
+            f"fileGrp USE={output_grp!r} already exists in {mets_path}; "
+            "pass overwrite=True to replace it")
+
+
+def _register_files(ws_dir: str, output_grp: str, page_ids, overwrite: bool):
+    """Driver-side per-workspace METS commit: drop any previous fileGrp of
+    the same USE (overwrite mode) and register the new files/fptrs.  This
+    touches only the tiny shared ``mets.xml`` — the PAGE-XML blobs were
+    already written by the executors."""
+    ET.register_namespace("mets", _METS_NS)
+    ET.register_namespace("xlink", _XLINK_NS)
+    mets_path = Path(ws_dir) / "mets.xml"
+    root = ET.fromstring(mets_path.read_bytes())
+    file_sec = root.find(f"{{{_METS_NS}}}fileSec")
+    old = [g for g in file_sec.findall(f"{{{_METS_NS}}}fileGrp")
+           if g.get("USE") == output_grp]
+    if old and not overwrite:
+        raise FileExistsError(
+            f"fileGrp USE={output_grp!r} already exists in {mets_path}")
+    old_ids = {f.get("ID") for g in old
+               for f in g.findall(f"{{{_METS_NS}}}file")}
+    for g in old:
+        file_sec.remove(g)
+    grp = ET.SubElement(file_sec, f"{{{_METS_NS}}}fileGrp",
+                        {"USE": output_grp})
+    divs = {d.get("ID"): d for d in root.iter(f"{{{_METS_NS}}}div")
+            if d.get("TYPE") == "page"}
+    for div in divs.values():
+        for fptr in [p for p in div.findall(f"{{{_METS_NS}}}fptr")
+                     if p.get("FILEID") in old_ids]:
+            div.remove(fptr)
+    for page_id in page_ids:
+        file_id = f"{output_grp}_{page_id}"
+        href = f"{output_grp}/{file_id}.xml"
+        fe = ET.SubElement(grp, f"{{{_METS_NS}}}file",
+                           {"ID": file_id, "MIMETYPE": MIMETYPE_PAGE})
+        ET.SubElement(fe, f"{{{_METS_NS}}}FLocat",
+                      {"LOCTYPE": "OTHER", f"{{{_XLINK_NS}}}href": href})
+        if page_id in divs:
+            ET.SubElement(divs[page_id], f"{{{_METS_NS}}}fptr",
+                          {"FILEID": file_id})
+    mets_path.write_bytes(ET.tostring(root, encoding="utf-8",
+                                      xml_declaration=True))
+
+
+def export_workspaces(merged_df, output_grp: str,
+                      overwrite: bool = False) -> int:
     """Write merged PAGE-XML files into each workspace's
     ``<output_grp>/`` and register them in its ``mets.xml`` (new fileGrp +
     one fptr per page div — the ``workspace.add_file`` step,
     ocrd/cli.py:283-290).  Workspace/page come from the row's url
-    (``<workspace>#<page_id>``).  Returns pages written."""
-    per_ws: dict[str, list] = {}
-    for r in merged_df.collect():
-        ws_dir, page_id = r.url.rsplit(_SEP, 1)
-        per_ws.setdefault(ws_dir, []).append((page_id, bytes(r.xml)))
+    (``<workspace>#<page_id>``).  Returns pages written.
 
-    METS = "http://www.loc.gov/METS/"
-    XLINK = "http://www.w3.org/1999/xlink"
-    ET.register_namespace("mets", METS)
-    ET.register_namespace("xlink", XLINK)
+    Scale shape: the PAGE-XML blobs are written from EXECUTORS (narrow
+    ``mapInPandas``, no shuffle — page file paths are disjoint per row, so
+    no per-workspace co-location is needed); only (workspace, page_id)
+    metadata returns to the driver, which then serially patches each tiny
+    shared ``mets.xml``.  Re-running without ``overwrite=True`` raises
+    ``FileExistsError`` like the reference; with it, the previous fileGrp
+    and its fptrs are replaced, never duplicated."""
+    import pandas as pd
+
+    meta = (merged_df
+            .withColumn("page_id", F.substring_index("url", _SEP, -1))
+            .withColumn("workspace", F.expr(
+                "substring(url, 1, length(url) - length("
+                f"substring_index(url, '{_SEP}', -1)) - 1)")))
+
+    def write_pages(batches):
+        checked: set[str] = set()
+        for pdf in batches:
+            out = []
+            for ws_dir, page_id, xml in zip(pdf["workspace"],
+                                            pdf["page_id"], pdf["xml"]):
+                if ws_dir not in checked:
+                    _check_output_grp(ws_dir, output_grp, overwrite)
+                    checked.add(ws_dir)
+                out_dir = Path(ws_dir) / output_grp
+                out_dir.mkdir(parents=True, exist_ok=True)
+                file_id = f"{output_grp}_{page_id}"
+                (out_dir / f"{file_id}.xml").write_bytes(bytes(xml))
+                out.append((ws_dir, page_id))
+            yield pd.DataFrame(out, columns=["workspace", "page_id"])
+
+    per_ws_rows = (meta.select("workspace", "page_id", "xml")
+                   .mapInPandas(write_pages,
+                                schema="workspace string, page_id string")
+                   .groupBy("workspace")
+                   .agg(F.sort_array(F.collect_list("page_id"))
+                        .alias("page_ids"))
+                   .collect())
     total = 0
-    for ws_dir, pages in per_ws.items():
-        out_dir = Path(ws_dir) / output_grp
-        out_dir.mkdir(parents=True, exist_ok=True)
-        mets_path = Path(ws_dir) / "mets.xml"
-        root = ET.fromstring(mets_path.read_bytes())
-        file_sec = root.find(f"{{{METS}}}fileSec")
-        grp = ET.SubElement(file_sec, f"{{{METS}}}fileGrp",
-                            {"USE": output_grp})
-        divs = {d.get("ID"): d for d in root.iter(f"{{{METS}}}div")
-                if d.get("TYPE") == "page"}
-        for page_id, xml in sorted(pages):
-            file_id = f"{output_grp}_{page_id}"
-            href = f"{output_grp}/{file_id}.xml"
-            (Path(ws_dir) / href).write_bytes(xml)
-            fe = ET.SubElement(grp, f"{{{METS}}}file",
-                               {"ID": file_id, "MIMETYPE": MIMETYPE_PAGE})
-            ET.SubElement(fe, f"{{{METS}}}FLocat",
-                          {"LOCTYPE": "OTHER", f"{{{XLINK}}}href": href})
-            if page_id in divs:
-                ET.SubElement(divs[page_id], f"{{{METS}}}fptr",
-                              {"FILEID": file_id})
-            total += 1
-        mets_path.write_bytes(ET.tostring(root, encoding="utf-8",
-                                          xml_declaration=True))
+    for r in per_ws_rows:
+        _register_files(r.workspace, output_grp, r.page_ids, overwrite)
+        total += len(r.page_ids)
     return total
 
 
-def export_workspace(merged_df, workspace_dir: str, output_grp: str) -> int:
+def export_workspace(merged_df, workspace_dir: str, output_grp: str,
+                     overwrite: bool = False) -> int:
     """Single-workspace convenience wrapper over
     :func:`export_workspaces` (``workspace_dir`` kept for call-site
     clarity; the rows' urls carry the authoritative location)."""
-    return export_workspaces(merged_df, output_grp)
+    return export_workspaces(merged_df, output_grp, overwrite=overwrite)

@@ -106,3 +106,83 @@ def test_multi_workspace_corpus(spark, tmp_path):
         for pid in ("PA", "PB", "PC"):
             out = (root / name / "OUT" / f"OUT_{pid}.xml").read_bytes()
             assert [t for _, t, _ in parse_page_lines(out)] == want
+
+
+def test_export_rerun_guard_and_overwrite(spark, tmp_path):
+    """Re-running the export without overwrite raises (reference:
+    add_file raises FileExistsError unless OVERWRITE); with
+    overwrite=True the fileGrp and its fptrs are REPLACED, never
+    duplicated."""
+    import xml.etree.ElementTree as ET
+
+    import pytest
+
+    ws = build_workspace(tmp_path)
+    merged, _ = align_workspace(spark, str(ws), "OCR", "GT",
+                                normalization=NORM, try_subseg=False)
+    assert export_workspace(merged, str(ws), "OUT") == 3
+    with pytest.raises(Exception, match="already exists"):
+        export_workspace(merged, str(ws), "OUT")
+    merged2, _ = align_workspace(spark, str(ws), "OCR", "GT",
+                                 normalization=NORM, try_subseg=False)
+    assert export_workspace(merged2, str(ws), "OUT", overwrite=True) == 3
+    root = ET.fromstring((ws / "mets.xml").read_bytes())
+    M = "{http://www.loc.gov/METS/}"
+    grps = [g for g in root.iter(f"{M}fileGrp") if g.get("USE") == "OUT"]
+    assert len(grps) == 1
+    assert len(grps[0].findall(f"{M}file")) == 3
+    for div in root.iter(f"{M}div"):
+        if div.get("TYPE") != "page":
+            continue
+        fids = [p.get("FILEID") for p in div.findall(f"{M}fptr")
+                if p.get("FILEID", "").startswith("OUT_")]
+        assert len(fids) == 1
+
+
+def test_export_writes_from_executors_not_driver(spark, tmp_path,
+                                                 monkeypatch):
+    """The export must never materialize the PAGE-XML blobs on the
+    driver: every DataFrame.collect() during export_workspaces sees only
+    metadata columns (no xml/binary column)."""
+    ws = build_workspace(tmp_path)
+    merged, _ = align_workspace(spark, str(ws), "OCR", "GT",
+                                normalization=NORM, try_subseg=False)
+    collected = []
+    cls = type(merged)
+    orig = cls.collect
+
+    def spy(self):
+        collected.append([f.name for f in self.schema.fields])
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    assert export_workspace(merged, str(ws), "OUT2") == 3
+    assert collected, "export must run through Spark actions"
+    for cols in collected:
+        assert "xml" not in cols and "content" not in cols
+
+
+def test_missing_partner_file_fails_loudly(spark, tmp_path):
+    """A partner file listed in METS but missing on disk must FAIL the
+    job (reference open() would raise), not silently shift the plaintext
+    line numbering."""
+    import pytest
+
+    ws = build_workspace(tmp_path)
+    (ws / "GT" / "PB_a.txt").unlink()
+    merged, _ = align_workspace(spark, str(ws), "OCR", "GT",
+                                normalization=NORM, try_subseg=False)
+    with pytest.raises(Exception, match="missing on disk"):
+        merged.collect()
+
+
+def test_missing_page_file_fails_loudly(spark, tmp_path):
+    """Same for the input fileGrp's own PAGE-XML files."""
+    import pytest
+
+    ws = build_workspace(tmp_path)
+    (ws / "OCR" / "PA.xml").unlink()
+    merged, _ = align_workspace(spark, str(ws), "OCR", "GT",
+                                normalization=NORM, try_subseg=False)
+    with pytest.raises(Exception, match="missing on disk"):
+        merged.collect()
