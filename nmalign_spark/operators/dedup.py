@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .relational import t
+from .relational import fan_out, t
 
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
            "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
@@ -43,9 +43,7 @@ def augmented_docs(spark, sf_dir):
     whole shingle+md5 map stage would run on a single core (a real crawl
     table has thousands of splits and never needs this)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        docs = docs.repartition(want)
+    docs = fan_out(docs)
     near = (docs.where(F.col("doc_id") % 5 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"),
                     F.array_join(

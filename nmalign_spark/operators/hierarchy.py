@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
+from .relational import fan_out
+
 __all__ = ["rollup_page", "rollup_hierarchy_df", "QUERIES", "ORACLES"]
 
 _RTL = "right-to-left"
@@ -210,9 +212,7 @@ def a4_hierarchy_rollup(spark, sf_dir: str):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        docs = docs.repartition(want)
+    docs = fan_out(docs)
 
     def gen(batches):
         for pdf in batches:

@@ -16,11 +16,30 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["QUERIES", "ORACLES", "t"]
+__all__ = ["QUERIES", "ORACLES", "t", "fan_out"]
 
 
 def t(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fan_out(df, want: int | None = None):
+    """Ensure a scan has at least ``want`` partitions before a heavy
+    narrow stage, WITHOUT the ``df.rdd.getNumPartitions()`` RDD-conversion
+    hop: the split count of a file scan is bounded below by its file
+    count, so a scan with ``>= want`` files never needs the fan-out, and
+    the one-split sf* test parquet gets repartitioned.  A real crawl table
+    has thousands of splits and always takes the no-op branch; non-scan
+    plans (no input files) are left untouched."""
+    spark = df.sparkSession
+    want = want or spark.sparkContext.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < nfiles < want:
+        return df.repartition(want)
+    return df
 
 
 # --- J1: page-ID equi-join (ocrd/cli.py:55-108 zip_input_files) ------------
@@ -338,9 +357,7 @@ def s4_pdf_roundtrip(spark, sf_dir):
     from ..sources.pdf import extract_pdf_segments, make_simple_pdf
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        docs = docs.repartition(want)
+    docs = fan_out(docs)
 
     def gen(batches):
         for pdf in batches:
@@ -374,9 +391,7 @@ def s4_pdf_metrics(spark, sf_dir):
     from ..sources.pdf import make_simple_pdf, pdf_metrics_df
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        docs = docs.repartition(want)
+    docs = fan_out(docs)
 
     def gen(batches):
         for pdf in batches:
@@ -420,9 +435,7 @@ def s4_pagexml_lines(spark, sf_dir):
     from ..sources.pagexml import make_page_xml, pagexml_segments_df
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        docs = docs.repartition(want)
+    docs = fan_out(docs)
 
     def gen(batches):
         for pdf in batches:
@@ -498,9 +511,7 @@ def k2_pagexml_merge(spark, sf_dir):
     from ..sources.pagexml import make_page_xml, pagexml_segments_df
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        docs = docs.repartition(want)
+    docs = fan_out(docs)
 
     def gen(batches):
         for pdf in batches:

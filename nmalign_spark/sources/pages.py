@@ -171,7 +171,6 @@ def pages_from_documents(spark, sf_dir: str, min_parallelism: int | None = None,
         ).withColumn(
             "doc_id", F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)
         ).drop("_rep")
-    want = min_parallelism or spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        docs = docs.repartition(want)
+    from ..operators.relational import fan_out
+    docs = fan_out(docs, min_parallelism)
     return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
