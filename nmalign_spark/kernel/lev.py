@@ -261,23 +261,38 @@ def cdist_partial_ratio(queries: list[str], choices: list[str],
     per cdist call instead of one per pair — then a second pooled pass for
     the equal-length reversed orientations that the partial_ratio swap rule
     requires.  Results (bit-identical to the per-pair path, asserted in
-    tests/test_kernel_lev.py) are inserted into the partial-ratio cache so
-    the exact ``partial_ratio_alignment`` phase of the subseg kernel reuses
-    them.
+    tests/test_kernel_lev.py) are held in a call-local dict — immune to
+    ``_PR_CACHE`` evictions when a call has more pairs than the cache cap —
+    and opportunistically inserted into the cache so the exact
+    ``partial_ratio_alignment`` phase of the subseg kernel reuses them.
     """
     if processor is not None:
         queries = [processor(s) for s in queries]
         choices = [processor(s) for s in choices]
 
+    local: dict[tuple[str, str], tuple] = {}
+
+    def put(k, val) -> None:
+        local[k] = val
+        _pr_cache_put(k, val)
+
     def batch_compute(keys) -> None:
-        """Score (needle, haystack) keys via the pooled scan + cache."""
-        todo = [k for k in keys if k not in _PR_CACHE]
+        """Score (needle, haystack) keys via the pooled scan."""
+        todo = []
+        for k in keys:
+            if k in local:
+                continue
+            cached = _PR_CACHE.get(k)
+            if cached is not None:
+                local[k] = cached
+            else:
+                todo.append(k)
         fast, slow = [], []
         for k in todo:
             s1, s2 = k
             windows = _pr_windows(s1, s2)
             if not windows:
-                _pr_cache_put(k, (0.0, 0, len(s1), 0, len(s1)))
+                put(k, (0.0, 0, len(s1), 0, len(s1)))
             elif 1 <= len(s1) <= 64:
                 fast.append((k, windows))
             else:
@@ -286,9 +301,9 @@ def cdist_partial_ratio(queries: list[str], choices: list[str],
             sims_list = _window_sims_multi(
                 [(k[0], windows, k[1]) for k, windows in fast])
             for (k, windows), sims in zip(fast, sims_list):
-                _pr_cache_put(k, _best_window(windows, sims, len(k[0])))
+                put(k, _best_window(windows, sims, len(k[0])))
         for k in slow:
-            _partial_ratio_cached(*k)
+            local[k] = _partial_ratio_cached(*k)
 
     # orientation per pair (the partial_ratio swap rule): needle = shorter
     pairs = [(q, c) for q in queries for c in choices]
@@ -297,12 +312,31 @@ def cdist_partial_ratio(queries: list[str], choices: list[str],
     # equal-length second orientation, needed when the first scan is < 100
     batch_compute({(c, q) for q, c in pairs
                    if q and c and len(q) == len(c)
-                   and _PR_CACHE.get((q, c), (0.0,))[0] != 100.0})
+                   and local.get((q, c), (0.0,))[0] != 100.0})
+
+    def score_pair(q: str, c: str) -> float:
+        # partial_ratio_alignment's swap rule, read from the local results
+        lq, lc = len(q), len(c)
+        if lq == 0 and lc == 0:
+            return 100.0
+        if lq == 0 or lc == 0:
+            return 0.0
+        key = (q, c) if lq <= lc else (c, q)
+        val = local.get(key)
+        if val is None:                            # cache hit path above
+            val = _partial_ratio_cached(*key)
+        sc = val[0]
+        if sc != 100.0 and lq == lc:
+            rev = local.get((c, q))
+            if rev is None:
+                rev = _partial_ratio_cached(c, q)
+            sc = max(sc, rev[0])
+        return sc
 
     out = np.zeros((len(queries), len(choices)), dtype=np.float32)
     for i, q in enumerate(queries):
         for j, c in enumerate(choices):
-            score = partial_ratio(q, c)
+            score = score_pair(q, c)
             if score_cutoff is not None and score < score_cutoff:
                 score = 0.0
             out[i, j] = score
@@ -390,11 +424,40 @@ def _window_mask(s1: str, windows, s2: str):
     return midx, lens
 
 
+_MULTI_CELL_BUDGET = 1 << 22        # uint64 cells per pooled pass (~32 MB)
+
+
 def _window_sims_multi(tasks) -> list[np.ndarray]:
+    """Bounded-memory wrapper over :func:`_window_sims_multi_impl`: the
+    pooled pass materializes a (total_windows x maxlen) uint64 matrix, so
+    many needles against a long haystack (the SUBSEG_ACC_MIN=0 gate selects
+    every line) could peak at hundreds of MB.  Tasks are processed in
+    chunks whose estimated cell count stays under ``_MULTI_CELL_BUDGET``;
+    padding is chunk-local, results stay bit-identical (asserted by
+    tests/test_kernel_lev.py)."""
+    sizes = [(len(windows), max(en - st for st, en in windows))
+             for _, windows, _ in tasks]
+    out: list[np.ndarray] = []
+    start = 0
+    while start < len(tasks):
+        end, width, wmax = start, 0, 0
+        while end < len(tasks):
+            w, m = sizes[end]
+            n_width, n_wmax = width + w, max(wmax, m)
+            if end > start and n_width * n_wmax > _MULTI_CELL_BUDGET:
+                break
+            width, wmax = n_width, n_wmax
+            end += 1
+        out.extend(_window_sims_multi_impl(tasks[start:end]))
+        start = end
+    return out
+
+
+def _window_sims_multi_impl(tasks) -> list[np.ndarray]:
     """One bit-parallel scan over the pooled windows of MANY (s1, windows,
     s2) tasks — the cross-pair batching of :func:`_window_sims` used by
     ``cdist_partial_ratio`` (one 64-step loop per cdist call instead of one
-    per pair).  Lanes are padded to the global max window length with zero
+    per pair).  Lanes are padded to the chunk's max window length with zero
     masks (no-op steps), so every lane computes exactly what its
     single-task call would: bit-identical results, asserted by
     tests/test_kernel_lev.py.

@@ -211,3 +211,57 @@ def test_cdist_partial_ratio_batched_equals_per_pair():
             s = lev.partial_ratio(q, c)
             want[i, j] = 0.0 if s < 50 else s
     assert np.array_equal(got, want)
+
+
+def test_cdist_more_pairs_than_cache_cap():
+    """A cdist call with more distinct pairs than _PR_CACHE_MAX must not
+    recompute evicted pooled results (they are held call-locally) and must
+    stay bit-identical to the per-pair path."""
+    import random
+
+    import numpy as np
+
+    from nmalign_spark.kernel import lev
+
+    rng = random.Random(7)
+    alpha = "abcdef "
+    def rs():
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(3, 20)))
+    queries = [rs() for _ in range(70)]
+    choices = [rs() for _ in range(70)]
+    assert len(queries) * len(choices) > lev._PR_CACHE_MAX
+    lev._PR_CACHE.clear()
+    got = lev.cdist_partial_ratio(queries, choices)
+    sample = [(i, j) for i in range(0, 70, 9) for j in range(0, 70, 9)]
+    for i, j in sample:
+        lev._PR_CACHE.clear()
+        assert got[i, j] == np.float32(lev.partial_ratio(queries[i],
+                                                         choices[j]))
+
+
+def test_window_sims_multi_chunked_identical(monkeypatch):
+    """Chunking the pooled pass (bounded peak allocation) must stay
+    bit-identical to one unbounded pass."""
+    import random
+
+    import numpy as np
+
+    from nmalign_spark.kernel import lev
+
+    rng = random.Random(21)
+    alpha = "abcdeüſ "
+    def rs(lo, hi):
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(lo, hi)))
+    tasks = []
+    for _ in range(25):
+        s1 = rs(1, 60)
+        s2 = rs(len(s1), len(s1) + 80)
+        windows = lev._pr_windows(s1, s2)
+        if windows:
+            tasks.append((s1, windows, s2))
+    want = lev._window_sims_multi_impl(tasks)
+    monkeypatch.setattr(lev, "_MULTI_CELL_BUDGET", 500)
+    got = lev._window_sims_multi(tasks)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
