@@ -4,11 +4,15 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
 {"metric", "value", "unit", "queries", "sf", ...}.
 
 Modes:
-  python bench.py                 # full headline run (driver per-round)
+  python bench.py                 # headline record: per-query MIN over
+                                  # $SPARK_GRAFT_BENCH_TRIALS (default 3)
+                                  # fresh-JVM passes (driver per-round)
+  python bench.py --one-pass      # one pass in this process (the worker
+                                  # the default mode spawns per trial)
   python bench.py --scaling       # same align job at local[N] and local[4N]
                                   # (N=$SPARK_GRAFT_SCALE_N, default 7);
                                   # prints both + scaling efficiency, updates BENCH.md
-  python bench.py --cpus N --only align_pages   # one query, one level (internal)
+  python bench.py --cpus N --only-align         # one query, one level (internal)
 """
 
 from __future__ import annotations
@@ -124,14 +128,46 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
     return out
 
 
-def run_full() -> dict:
+def run_one_pass() -> dict:
+    """One pass over the headline set in THIS process (one fresh JVM)."""
     spark = make_spark(CPUS)
     spark.range(10).count()  # JVM warmup out of the timings
     _warm_python_workers(spark, CPUS)
     res = bench_queries(spark, SF_DIR)
     spark.stop()
     n_docs = res.pop("_n_docs")["rows"]
-    qsecs = {k: v["sec"] for k, v in res.items()}
+    return {
+        "queries": {k: v["sec"] for k, v in res.items()},
+        "n_docs": n_docs,
+        "align_docs_per_sec": res.get("align_pages", {}).get("docs_per_sec"),
+        "rows": {k: v["rows"] for k, v in res.items()},
+    }
+
+
+BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+
+def run_full(trials: int = BENCH_TRIALS) -> dict:
+    """Headline record = per-query MIN over ``trials`` one-pass runs, each
+    in a fresh subprocess/JVM.
+
+    Why min-of-N: this VM shows ~4% CPU steal and sustained-load
+    throttling — identical back-to-back runs vary ±20%, so a single-pass
+    record can show phantom regressions (the r2 driver record did).  The
+    min over independent fresh-JVM trials estimates true job cost under
+    external interference; per-query trial lists are attached so the
+    spread is visible."""
+    _pages_parquet(SF_DIR, BENCH_REP)   # data-gen cached outside timings
+    runs: list[dict] = []
+    for _ in range(max(trials, 1)):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--one-pass"],
+            capture_output=True, text=True, check=True, cwd=str(REPO))
+        last = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        runs.append(json.loads(last))
+    names = list(runs[0]["queries"])
+    qsecs = {k: min(r["queries"][k] for r in runs) for k in names}
     total = round(sum(qsecs.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     line = {
@@ -141,9 +177,13 @@ def run_full() -> dict:
         "queries": qsecs,
         "sf": float(sf),
         "cpus": CPUS,
-        "n_docs": n_docs,
-        "align_docs_per_sec": res.get("align_pages", {}).get("docs_per_sec"),
-        "rows": {k: v["rows"] for k, v in res.items()},
+        "n_docs": runs[0]["n_docs"],
+        "align_docs_per_sec": max(r["align_docs_per_sec"] for r in runs
+                                  if r.get("align_docs_per_sec")),
+        "rows": runs[0]["rows"],
+        "protocol": f"min-of-{len(runs)} (fresh JVM per trial; "
+                    "see BENCH.md for why min-of-N on this host)",
+        "trials": {k: [r["queries"][k] for r in runs] for k in names},
     }
     # attach the latest two-level scaling evidence (produced by --scaling,
     # which measures the real job on a materialized pages table; see BENCH.md)
@@ -308,11 +348,16 @@ def main():
     ap.add_argument("--trials", type=int, default=4,
                     help="interleaved trials per level for --scaling")
     ap.add_argument("--only-align", action="store_true")
+    ap.add_argument("--one-pass", action="store_true",
+                    help="single pass in this process (min-of-N worker)")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--pages-path", default=None)
     args = ap.parse_args()
     if args.only_align:
         print(json.dumps(run_single(args.cpus, SF_DIR, args.pages_path)))
+        return
+    if args.one_pass:
+        print(json.dumps(run_one_pass()))
         return
     if args.scaling:
         res = run_scaling(trials=args.trials)

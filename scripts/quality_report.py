@@ -81,12 +81,21 @@ def main(sf_dir: str) -> None:
         "top-k over NEAR-ORTHOGONAL random vectors (max pairwise cos "
         "~0.5): the 'true' neighbors are arbitrary, so this number "
         "bounds nothing — kept for transparency"))
+    lsh_planted = similarity.lsh_planted_recall(spark, sf_dir)
+    rows.append((
+        "LSH multi-probe retrieves planted near-dup",
+        "recall@Hamming<=1", lsh_planted,
+        f"{similarity.N_PLANES}-bit sign bucket + {similarity.N_PLANES} "
+        "Hamming-1 probes (the sim_lsh_topk production path): fraction of "
+        "planted pairs (cos ~0.87-0.993) whose buckets are within the "
+        "probe radius"))
     rows.append((
         "sim_lsh_topk vs sim_topk_cosine (context only)",
         f"{lsh_hits}/{denom}", lsh_hits / denom if denom else 1.0,
-        f"single {similarity.N_PLANES}-bit bucket, no multi-probe, same "
-        "caveat: structurally ~0 on orthogonal random data; genuinely "
-        "near vectors collide (see the planted rows above)"))
+        f"multi-probe (Hamming<=1) over {similarity.N_PLANES}-bit "
+        "buckets; top-k over NEAR-ORTHOGONAL random vectors remains "
+        "structurally weak — the planted row above is the number the "
+        "index is tuned on"))
 
     spark.stop()
 

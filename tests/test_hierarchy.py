@@ -167,3 +167,108 @@ def test_gate_query_matches_duckdb(spark, sf_small):
                 f"read_parquet('{sf_small}/documents.parquet')")
     odf = con.execute(_ORACLE_HIERARCHY).fetchdf()
     assert canon(sdf) == canon(odf)
+
+
+# --- reading-order edge parity: property test vs a direct transcription ----
+
+import random as _random
+
+_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+
+def _attr(name, val):
+    return f' {name}="{val}"' if val else ""
+
+
+def _build_xml(page_attrs, regions):
+    """Synthetic PAGE-XML with textLineOrder/readingDirection placed at
+    ARBITRARY levels (page/region/line/word) — the inheritance chains of
+    ocrd/cli.py:389-410 that the fixed-shape builder can't express."""
+    g = 0
+    rparts = []
+    for ri, reg in enumerate(regions):
+        lparts = []
+        for li, line in enumerate(reg["lines"]):
+            wparts = []
+            for word in line["words"]:
+                glyphs = "".join(
+                    f'<Glyph id="w{g}_g{c}"><TextEquiv conf="0.5">'
+                    f"<Unicode>{ch}</Unicode></TextEquiv></Glyph>"
+                    for c, ch in enumerate(word["chars"]))
+                wparts.append(f'<Word id="w{g:04d}"'
+                              f'{_attr("readingDirection", word["rd"])}>'
+                              f"{glyphs}</Word>")
+                g += 1
+            lparts.append(f'<TextLine id="l{ri}_{li}"'
+                          f'{_attr("readingDirection", line["rd"])}>'
+                          + "".join(wparts) + "</TextLine>")
+        rparts.append(f'<TextRegion id="r{ri}"'
+                      f'{_attr("textLineOrder", reg["tlo"])}'
+                      f'{_attr("readingDirection", reg["rd"])}>'
+                      + "".join(lparts) + "</TextRegion>")
+    return (f'<?xml version="1.0" encoding="UTF-8"?><PcGts xmlns="{_NS}">'
+            f'<Page imageWidth="9" imageHeight="9"'
+            f'{_attr("textLineOrder", page_attrs["tlo"])}'
+            f'{_attr("readingDirection", page_attrs["rd"])}>'
+            + "".join(rparts) + "</Page></PcGts>")
+
+
+def _ref_expected(page, regions):
+    """Direct transcription of the reference traversal
+    (ocrd/cli.py:389-431): region/page textLineOrder fallback reverses
+    lines; word<-line<-region<-page readingDirection fallback reverses
+    words and glyphs; line text joins words with ' ', region text joins
+    lines with newline (no join relations here)."""
+    out = {}
+    for ri, reg in enumerate(regions):
+        lines = list(reg["lines"])
+        if (reg["tlo"] or page["tlo"]) == "bottom-to-top":
+            lines = list(reversed(lines))
+        line_texts = []
+        for line in lines:
+            words = list(line["words"])
+            if (line["rd"] or reg["rd"] or page["rd"]) == "right-to-left":
+                words = list(reversed(words))
+            wtexts = []
+            for word in words:
+                chars = list(word["chars"])
+                if (word["rd"] or line["rd"] or reg["rd"]
+                        or page["rd"]) == "right-to-left":
+                    chars = list(reversed(chars))
+                wtexts.append("".join(chars))
+            line_texts.append(" ".join(wtexts))
+        out[f"r{ri}"] = "\n".join(line_texts)
+    return out
+
+
+def test_reading_order_inheritance_parity():
+    """500 random pages with textLineOrder/readingDirection planted at
+    random levels: rollup_page must reproduce the reference traversal's
+    text for every region (order fallbacks, overrides like an explicit
+    top-to-bottom region under a bottom-to-top page, RTL fallthrough to
+    glyphs)."""
+    rng = _random.Random(42)
+    tlo_choices = [None, "bottom-to-top", "top-to-bottom"]
+    rd_choices = [None, "right-to-left", "left-to-right"]
+    alpha = "abcdefg"
+    for trial in range(500):
+        page = {"tlo": rng.choice(tlo_choices), "rd": rng.choice(rd_choices)}
+        regions = []
+        for _ in range(rng.randint(1, 2)):
+            lines = []
+            for _ in range(rng.randint(1, 3)):
+                words = []
+                for _ in range(rng.randint(1, 3)):
+                    words.append({
+                        "chars": [rng.choice(alpha)
+                                  for _ in range(rng.randint(1, 3))],
+                        "rd": rng.choice(rd_choices)})
+                lines.append({"words": words, "rd": rng.choice(rd_choices)})
+            regions.append({"lines": lines, "tlo": rng.choice(tlo_choices),
+                            "rd": rng.choice(rd_choices)})
+        xml = _build_xml(page, regions)
+        doc = parse_page_hierarchy(xml)
+        rollup_page(doc, level="glyph")
+        got = {r["id"]: r["text"] for r in doc["regions"]}
+        want = _ref_expected(page, regions)
+        assert got == want, (trial, page, regions, got, want)
