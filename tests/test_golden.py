@@ -35,3 +35,24 @@ def test_alignment_output_pinned(spark, sf_small):
     assert len(pdf) == GOLDEN_ROWS
     body = _canonical_csv(pdf)
     assert hashlib.sha256(body.encode()).hexdigest() == GOLDEN_SHA
+
+
+# --- sf0.01 noisy pin: the driver's rows-only u1_align_noisy query --------
+
+GOLDEN_MID_ROWS = 5067
+GOLDEN_MID_SHA = ("9cb1b82b3b79d9832d0f0342fa4007594d71f4457657d70b2"
+                  "eef92216a88cde8")
+
+
+def test_noisy_alignment_sf001_pinned(spark, sf_mid):
+    """Larger noisy pin (sf0.01, 10x the corpus, no subseg — exactly the
+    driver's rows-only ``u1_align_noisy`` query): the SQL-provable
+    constructions gate the kernel only on dyadic-rational similarities;
+    this pin catches float-path drift they cannot.  Hash verified
+    identical at local[8] and local[32]."""
+    import __spark_entry__ as entry
+
+    pdf = entry._q_align_noisy(spark, sf_mid).toPandas()
+    assert len(pdf) == GOLDEN_MID_ROWS
+    body = _canonical_csv(pdf)
+    assert hashlib.sha256(body.encode()).hexdigest() == GOLDEN_MID_SHA
