@@ -33,7 +33,7 @@ __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
 SHINGLE_K = 5          # words per shingle
 STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
 JACCARD_MIN = 0.12     # near-dup verification threshold
-MINHASH_K = 8          # signature length; 8 bands x 1 row (high recall)
+MINHASH_K = 16         # signature length; 16 bands x 1 row (high recall)
 
 
 def augmented_docs(spark, sf_dir):
@@ -206,13 +206,13 @@ WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_MIN}
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_lsh_pairs(spark, sf_dir):
-    """LSH candidates (1-row bands over a K=8 minhash signature), verified
+    """LSH candidates (1-row bands over a K=16 minhash signature), verified
     with true Jaccard.
 
-    The k-th hash of a shingle is its md5 hex *rotated by 4k characters* —
+    The k-th hash of a shingle is its md5 hex *rotated by 2k characters* —
     one md5 per shingle total (the expensive part), K cheap string rotations
     deriving the band orders.  Each rotation is a consistent uniform-ish
-    total order (the leading characters for band k are md5 bytes 2k..),
+    total order (the leading characters for band k are md5 bytes k..),
     so Pr[minhash_k(A)=minhash_k(B)] ≈ Jaccard per band; bands are only
     approximately independent, which costs a little recall — acceptable
     because every candidate is verified with exact Jaccard.  (On a real
@@ -232,7 +232,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     # all K band minima in ONE wide aggregation (map-side partial combine,
     # no K-fold row explode through the shuffle), then unpivot to long form
     rots = [F.min(F.expr(
-        f"concat(substr(h, {4 * k + 1}, {32 - 4 * k}), substr(h, 1, {4 * k}))"
+        f"concat(substr(h, {2 * k + 1}, {32 - 2 * k}), substr(h, 1, {2 * k}))"
     )).alias(f"m{k}") for k in range(MINHASH_K)]
     sigw = sh.groupBy("doc_id").agg(*rots)
     sig = sigw.select(
@@ -253,8 +253,8 @@ ORACLE_MINHASH = f"""
 WITH {AUG_SQL}, {FILTERED_SQL},
 sig AS (
   SELECT doc_id, k,
-         MIN(substr(md5(shingle), 4*k + 1, 32 - 4*k) ||
-             substr(md5(shingle), 1, 4*k)) AS minhash
+         MIN(substr(md5(shingle), 2*k + 1, 32 - 2*k) ||
+             substr(md5(shingle), 1, 2*k)) AS minhash
   FROM filtered, UNNEST(range(0, {MINHASH_K})) AS kk(k)
   GROUP BY doc_id, k),
 cand AS (
