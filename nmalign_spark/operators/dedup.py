@@ -280,16 +280,18 @@ FROM cand JOIN verified ON cand.id1 = verified.id1 AND cand.id2 = verified.id2
 # --- SimHash ------------------------------------------------------------------
 
 def simhash_signatures(spark, sf_dir):
-    """16-bit SimHash per document from token md5 nibbles.
+    """32-bit SimHash per document from token md5 nibbles.
 
-    Bit b of token t = parity of hex digit b of md5(t); the document bit is
-    the sign of the vote sum.  Pure SQL bit math — engine-portable and
+    Bit b of token t = parity of hex digit b of md5(t) (all 32 hex digits
+    used — 16 bits is too short to discriminate at corpus scale: random
+    16-bit codes put ~1% of ALL pairs within Hamming 3); the document bit
+    is the sign of the vote sum.  Pure SQL bit math — engine-portable and
     vectorized end to end.
     """
     aug = augmented_docs(spark, sf_dir)
     tok = aug.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     bits = (tok.select("doc_id", F.md5("tok").alias("h"),
-                       F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
+                       F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
             .withColumn("nib", F.expr(
                 "locate(substr(h, b + 1, 1), '0123456789abcdef') - 1"))
             .withColumn("vote", F.when(F.col("nib") % 2 == 1, 1).otherwise(-1)))
@@ -297,7 +299,7 @@ def simhash_signatures(spark, sf_dir):
             .withColumn("bit", (F.col("v") > 0).cast("int"))
             .groupBy("doc_id")
             .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b"))
-                       .cast("long")).alias("simhash16")))
+                       .cast("long")).alias("simhash32")))
 
 
 ORACLE_SIMHASH = f"""
@@ -307,13 +309,72 @@ bits AS (
   SELECT doc_id, b,
          CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), b + 1, 1)) - 1) % 2 = 1
               THEN 1 ELSE -1 END AS vote
-  FROM tok, UNNEST(range(0, 16)) AS bb(b)),
+  FROM tok, UNNEST(range(0, 32)) AS bb(b)),
 docbits AS (
   SELECT doc_id, b, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
   FROM bits GROUP BY doc_id, b)
 SELECT doc_id,
-       CAST(SUM(bit * CAST(POW(2.0, b) AS BIGINT)) AS BIGINT) AS simhash16
+       CAST(SUM(bit * CAST(POW(2.0, b) AS BIGINT)) AS BIGINT) AS simhash32
 FROM docbits GROUP BY doc_id
+"""
+
+
+SIMHASH_BANDS = 4        # 4 bands x 8 bits over the 32-bit signature
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: Hamming<=3 => at least one equal band
+
+
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: Hamming distance <= ``SIMHASH_MAX_HAMMING``
+    on the 16-bit signature, found via band equi-join.
+
+    The classic simhash dedup shape: split the signature into
+    ``SIMHASH_BANDS`` bands of 8 bits — any pair within Hamming distance 3
+    must agree on at least one whole band (pigeonhole), so the candidate
+    join is an equi-join on (band, band_val) with NO false negatives at
+    the operating distance, and the exact bit_count verification touches
+    candidates only.  All Catalyst bit math; one shuffle per re-key, same
+    scale shape as the MinHash path."""
+    sig = simhash_signatures(spark, sf_dir)
+    band = (sig.crossJoin(spark.range(SIMHASH_BANDS).select(F.col("id").alias("b")))
+            .withColumn("band_val", F.expr(
+                "shiftright(simhash32, cast(b * 8 as int)) & 255")))
+    a = band.select(F.col("doc_id").alias("id1"),
+                    F.col("simhash32").alias("s1"), "b", "band_val")
+    c = band.select(F.col("doc_id").alias("id2"),
+                    F.col("simhash32").alias("s2"), "b", "band_val")
+    cand = (a.join(c, ["b", "band_val"])
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "s1", "s2").distinct())
+    return (cand.withColumn("hamming", F.bit_count(F.expr("s1 ^ s2")))
+            .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .select("id1", "id2", F.col("hamming").cast("int").alias("hamming")))
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {AUG_SQL},
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), b + 1, 1)) - 1) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM tok, UNNEST(range(0, 32)) AS bb(b)),
+docbits AS (
+  SELECT doc_id, b, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+  FROM bits GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(bit * CAST(POW(2.0, b) AS BIGINT)) AS BIGINT) AS simhash32
+  FROM docbits GROUP BY doc_id),
+band AS (
+  SELECT doc_id, simhash32, b, (simhash32 >> (b * 8)) & 255 AS band_val
+  FROM sig, UNNEST(range(0, {SIMHASH_BANDS})) AS bb(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+         a.simhash32 AS s1, c.simhash32 AS s2
+  FROM band a JOIN band c ON a.b = c.b AND a.band_val = c.band_val
+                          AND a.doc_id < c.doc_id)
+SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -426,6 +487,7 @@ QUERIES = {
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_signatures,
+    "dedup_simhash_pairs": simhash_pairs,
     "dedup_components": duplicate_components,
 }
 
@@ -434,5 +496,6 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_components": ORACLE_COMPONENTS,
 }

@@ -38,3 +38,23 @@ def test_multiple_components_and_singletons(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _run(spark, [(i, i + 1) for i in range(63)], 64, max_iters=2)
+
+
+def test_simhash_pairs_find_planted_dups(spark):
+    """32-bit SimHash banding (4x8 bits, Hamming<=3): every planted EXACT
+    duplicate pair (v, v+200000) must surface at hamming=0 (identical
+    token multiset => identical signature), and the pair set must be
+    selective — nowhere near the ~1%-of-all-pairs collision mass a 16-bit
+    signature produces."""
+    from nmalign_spark.operators.dedup import augmented_docs, simhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {(r.id1, r.id2): r.hamming
+             for r in simhash_pairs(spark, sf).collect()}
+    n_docs = augmented_docs(spark, sf).count()
+    exact_ids = [r.doc_id for r in
+                 augmented_docs(spark, sf).where("doc_id >= 200000").collect()]
+    assert exact_ids
+    for dup in exact_ids:
+        assert pairs.get((dup - 200000, dup)) == 0
+    assert len(pairs) < 0.01 * n_docs * (n_docs - 1) / 2
