@@ -113,6 +113,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["dedup_ngram_jaccard"] = lambda: dedup.ngram_jaccard_pairs(spark, sf_dir)
         queries["sim_cosine_dups_lsh"] = lambda: similarity.embedding_cosine_dups_lsh(spark, sf_dir)
         queries["s7_mets_workspace"] = lambda: relational.s7_mets_workspace(spark, sf_dir)
+        queries["dedup_simhash_pairs"] = lambda: dedup.simhash_pairs(spark, sf_dir)
+        queries["sim_lsh_topk"] = lambda: similarity.lsh_bucketed_topk(spark, sf_dir)
     except ImportError:
         pass
 

@@ -33,13 +33,16 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_trial(i: int) -> dict:
-    cmd = [sys.executable, str(REPO / "bench.py")]
+    # --one-pass: bench.py's default mode is ITSELF min-of-N now; the
+    # compare harness wants raw single passes to pool its own minima over
+    cmd = [sys.executable, str(REPO / "bench.py"), "--one-pass"]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True,
                          cwd=str(REPO))
     line = [ln for ln in out.stdout.strip().splitlines()
             if ln.startswith("{")][-1]
     res = json.loads(line)
     qs = {k: v for k, v in res["queries"].items()}
+    res.setdefault("value", round(sum(qs.values()), 3))
     print(f"  trial {i}: total={res['value']}s "
           f"{ {k: qs[k] for k in list(qs)[:3]} }...", file=sys.stderr)
     return res
