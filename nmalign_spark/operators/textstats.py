@@ -145,11 +145,75 @@ FROM documents
 """
 
 
+DECON_N = 8         # n-gram length for benchmark-overlap detection
+DECON_BENCH_MOD = 97  # stand-in benchmark set: doc_id % 97 == 0
+
+
+def decontaminate_flags(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share any
+    word-``DECON_N``-gram with the benchmark set (stand-in: every 97th
+    document), with the overlapping-n-gram count per flagged doc.
+
+    The standard eval-leakage filter of an LLM data pipeline.  Scale
+    shape: the benchmark n-gram table is tiny relative to the corpus
+    (eval suites are MBs, the crawl is TBs) — Catalyst broadcasts it, so
+    the corpus side stays a narrow scan + hash lookup with NO shuffle of
+    the training n-grams; the count agg shuffles only matched (doc,
+    n-gram) rows.  N-grams are md5-hashed before the join (fixed-width
+    key, no long-string comparisons through the broadcast).
+
+    The synthetic docs are near-disjoint, so CONTAMINATED twins are
+    planted (identically in the oracle): every 50th+1 document gets a
+    +300000 twin with benchmark doc 0's text appended — those twins MUST
+    be flagged."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench0 = base.where(F.col("doc_id") == 0) \
+        .select(F.col("text").alias("btext"))
+    planted = (base.where(F.col("doc_id") % 50 == 1)
+               .crossJoin(F.broadcast(bench0))
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.concat_ws(" ", "text", "btext").alias("text")))
+    d = base.unionByName(planted)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - DECON_N + 1, F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, DECON_N), " ")))
+    exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = exploded.where(is_bench).select("h").distinct()
+    train = exploded.where(~is_bench)
+    return (train.join(F.broadcast(bench), "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams")))
+
+
+ORACLE_DECON = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT t.doc_id + 300000 AS doc_id, t.text || ' ' || b.text AS text
+  FROM documents t JOIN documents b ON b.doc_id = 0
+  WHERE t.doc_id % 50 = 1),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(string_split(text, ' '), i, i + {DECON_N - 1}), ' ')) AS h
+  FROM aug,
+       UNNEST(range(1, GREATEST(len(string_split(text, ' ')) - {DECON_N - 1}, 1) + 1)) AS r(i)),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM grams WHERE doc_id % {DECON_BENCH_MOD} != 0
+  AND h IN (SELECT h FROM bench)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_counts": token_counts,
     "text_quality": quality_scores,
     "text_langid": lang_id,
     "text_fingerprint": fingerprints,
+    "text_decontaminate": decontaminate_flags,
 }
 
 ORACLES = {
@@ -157,4 +221,5 @@ ORACLES = {
     "text_quality": ORACLE_QUALITY,
     "text_langid": ORACLE_LANGID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_decontaminate": ORACLE_DECON,
 }
