@@ -21,7 +21,7 @@ if _REPO not in sys.path:
 
 from nmalign_spark.functions.normalize import DEFAULT_NORMALIZATION  # noqa: E402
 from nmalign_spark.operators import (dedup, multimodal, relational,  # noqa: E402
-                                     similarity, textstats)
+                                     similarity, textstats, urls)
 from nmalign_spark.operators.align import align_pages  # noqa: E402
 from nmalign_spark.operators.metrics import page_metrics  # noqa: E402
 from nmalign_spark.streaming import windows as _stwindows  # noqa: E402
@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(urls.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(_stwindows.QUERIES)
     out.update(oracle_gate.QUERIES)
@@ -74,6 +75,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
+    out.update(urls.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(_stwindows.ORACLES)
     out.update(oracle_gate.ORACLES)
