@@ -208,12 +208,89 @@ GROUP BY doc_id
 """
 
 
+def repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of all word bigrams taken
+    by the single most frequent bigram, per document.  High values flag
+    boilerplate/spam (repeated nav text, keyword stuffing).  Two keyed
+    aggregations — (doc, bigram) count then per-doc max/sum — both
+    map-side combinable; no joins."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    exploded = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    per_bg = exploded.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (per_bg.groupBy("doc_id")
+            .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+                 F.sum("c").alias("n_bigrams")))
+
+
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+  FROM documents),
+bigrams AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
+  FROM toks, UNNEST(range(1, GREATEST(len(l) - 1, 1) + 1)) AS r(i)),
+per_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg)
+SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams
+FROM per_bg GROUP BY doc_id
+"""
+
+
+MIX_RATES = {"en": 60, "de": 35}   # percent kept per lang; default below
+MIX_DEFAULT_RATE = 15
+
+
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling — the data-mixing step of
+    a training pipeline (e.g. keep 60% en, 35% de, 15% everything else).
+
+    The keep decision hashes the doc_id (md5 first 4 hex chars mod 100),
+    so it is reproducible across runs/engines and needs NO shuffle: the
+    sample is a narrow filter on the scan, and re-running the pipeline
+    keeps the identical subset (resume-safe, unlike rand()-based
+    sampling)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for lang, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long") % 100
+    return (d.withColumn("bucket", bucket)
+            .where(F.col("bucket") < rate)
+            .select("doc_id", "lang")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+_RATE_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(MIX_RATES.items()))
+
+ORACLE_MIX = f"""
+SELECT lang, COUNT(*) AS n_kept
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+              AS BIGINT) % 100 AS bucket,
+         CASE {_RATE_SQL} ELSE {MIX_DEFAULT_RATE} END AS rate
+  FROM documents)
+WHERE bucket < rate GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_counts": token_counts,
     "text_quality": quality_scores,
     "text_langid": lang_id,
     "text_fingerprint": fingerprints,
     "text_decontaminate": decontaminate_flags,
+    "text_repetition": repetition_ratio,
+    "mix_stratified_sample": stratified_sample,
 }
 
 ORACLES = {
@@ -222,4 +299,6 @@ ORACLES = {
     "text_langid": ORACLE_LANGID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_decontaminate": ORACLE_DECON,
+    "text_repetition": ORACLE_REPETITION,
+    "mix_stratified_sample": ORACLE_MIX,
 }
