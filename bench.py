@@ -160,11 +160,20 @@ def run_full(trials: int = BENCH_TRIALS) -> dict:
     external interference; per-query trial lists are attached so the
     spread is visible."""
     _pages_parquet(SF_DIR, BENCH_REP)   # data-gen cached outside timings
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    t_start = time.time()
     runs: list[dict] = []
+    last_dt = 0.0
     for _ in range(max(trials, 1)):
+        # soft budget: never start a trial we can't expect to finish —
+        # the driver's per-command window matters more than trial count
+        if runs and time.time() - t_start + last_dt * 1.2 > budget:
+            break
+        t0 = time.time()
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--one-pass"],
             capture_output=True, text=True, check=True, cwd=str(REPO))
+        last_dt = time.time() - t0
         last = [ln for ln in out.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
         runs.append(json.loads(last))
