@@ -423,6 +423,27 @@ def cosine_dups_recall(spark, sf_dir) -> float:
     return len(exact & lsh) / len(exact)
 
 
+def write_ivf_index(spark, sf_dir, out_dir: str) -> str:
+    """Materialize the IVF inverted index PARTITIONED BY cell id — the
+    production layout of an ANN store: a probe of ``N_PROBE`` cells scans
+    exactly those partition directories (Catalyst partition pruning), not
+    the whole index.  tests/test_similarity.py asserts the pruning on
+    ``inputFiles()`` of :func:`probe_ivf_index`."""
+    emb = _emb(spark, sf_dir)
+    inv = (_assign_cells(emb, _seed_centroids(emb))
+           .where(F.col("r") == 1)
+           .select("vec_id", "embedding", F.col("cid").alias("cell")))
+    inv.write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+    return out_dir
+
+
+def probe_ivf_index(spark, index_dir: str, cells):
+    """Read back only the probed cells — the filter is a partition filter,
+    so unprobed cell directories are never listed into the scan."""
+    return (spark.read.parquet(index_dir)
+            .where(F.col("cell").isin(list(cells))))
+
+
 # --- IVF with Lloyd-refined centroids ---------------------------------------
 
 LLOYD_ITERS = 2

@@ -71,3 +71,30 @@ def test_cosine_dups_lsh_subset_and_recall(spark, sf_mid):
     recall = cosine_dups_recall(spark, sf_mid)
     assert 0.5 <= recall <= 1.0
     print("cosine_dups_lsh recall:", recall, f"({len(lsh)}/{len(exact)})")
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path, sf_small):
+    """The cell-partitioned IVF index must prune: probing 2 cells reads
+    ONLY those cell directories (inputFiles), and the scan carries a
+    partition filter on cell — the layout that makes a probe touch
+    N_PROBE/K of a 100 TB index."""
+    from nmalign_spark.operators.similarity import (probe_ivf_index,
+                                                    write_ivf_index)
+
+    idx = write_ivf_index(spark, sf_small, str(tmp_path / "ivf"))
+    all_cells = sorted({r.cell for r in
+                        spark.read.parquet(idx).select("cell").collect()})
+    assert len(all_cells) >= 3
+    probe_cells = all_cells[:2]
+    probed = probe_ivf_index(spark, idx, probe_cells)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the cell predicate must reach the scan as a PARTITION filter (pruned
+    # at file listing), not survive as a post-scan data Filter
+    scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PartitionFilters" in scan_line
+    assert "cell#" in scan_line.split("PartitionFilters")[1].split("]")[0]
+    assert "Filter " not in plan.split("FileScan")[0].replace(
+        "PartitionFilters", "")
+    base = spark.read.parquet(idx)
+    want = base.where(base.cell.isin(probe_cells)).count()
+    assert probed.count() == want > 0
