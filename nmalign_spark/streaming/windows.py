@@ -115,14 +115,49 @@ FROM events
 """
 
 
+# --- streaming exact dedup ---------------------------------------------------
+
+def event_dedup(spark, sf_dir):
+    """Batch twin of the streaming dedup: first (min event_id) arrival per
+    content key (user_id, event_type, props) plus the duplicate count —
+    the exact-dedup tier applied AT INGEST in a streaming crawl pipeline."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("user_id", "event_type", "props")
+            .agg(F.min("event_id").alias("first_event_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+ORACLE_EVENT_DEDUP = """
+SELECT user_id, event_type, props,
+       MIN(event_id) AS first_event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM events GROUP BY user_id, event_type, props
+"""
+
+
+def stream_event_dedup(spark, src_dir: str):
+    """Streaming twin: ``dropDuplicatesWithinWatermark`` on the content
+    key — keeps ONE arrival per key while the watermark bounds the dedup
+    state (keys older than the horizon are evicted, the standard
+    at-ingest dedup of an event firehose).  Which arrival survives is
+    arrival-order dependent, so the batch equivalence test compares the
+    surviving KEY SET (tests/test_streaming.py), not row identity."""
+    ev = (spark.readStream.schema(EVENTS_DDL).parquet(src_dir)
+          .withWatermark("ts", "2 hours"))
+    return ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "props"])
+
+
 QUERIES = {
     "st_hourly_counts": hourly_event_stats,
     "st_session_windows": session_windows,
     "ev_props_extract": props_extract,
+    "st_event_dedup": event_dedup,
 }
 
 ORACLES = {
     "st_hourly_counts": ORACLE_HOURLY,
     "st_session_windows": ORACLE_SESSIONS,
     "ev_props_extract": ORACLE_PROPS,
+    "st_event_dedup": ORACLE_EVENT_DEDUP,
 }

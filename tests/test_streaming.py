@@ -93,3 +93,22 @@ def test_append_mode_watermark_closes_windows(spark, tmp_path):
     assert got["n"].tolist() == [2, 1]
     assert str(got["ws"].iloc[0]).startswith("2024-01-01 00:00")
     assert str(got["ws"].iloc[1]).startswith("2024-01-01 01:00")
+
+
+def test_stream_dedup_keys_equal_batch(spark, src_dir, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one arrival per content
+    key: the surviving key set equals the batch groupBy's key set (which
+    arrival survives is order-dependent, so rows aren't compared)."""
+    sdf = stw.stream_event_dedup(spark, src_dir)
+    q = (sdf.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type, props "
+                    "FROM dedup_stream").toPandas()
+    want = stw.event_dedup(spark, SF).toPandas()[
+        ["user_id", "event_type", "props"]]
+    key = lambda df: set(map(tuple, df.itertuples(index=False)))
+    assert key(got) == key(want)
+    assert len(got) == len(key(got))        # no duplicate keys survived
