@@ -218,10 +218,14 @@ def repetition_ratio(spark, sf_dir):
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     n = F.size(toks)
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i),
                               F.element_at(toks, i + 1)))
-    exploded = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    # docs with < 2 tokens have no bigrams and emit no row — guarded
+    # BEFORE element_at (ANSI mode throws on out-of-bounds indexes, and
+    # DuckDB's out-of-bounds NULL would diverge); same WHERE in the oracle
+    exploded = (d.where(n >= 2)
+                .select("doc_id", F.explode(bigrams).alias("bg")))
     per_bg = exploded.groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).alias("c"))
     return (per_bg.groupBy("doc_id")
@@ -235,7 +239,8 @@ WITH toks AS (
   FROM documents),
 bigrams AS (
   SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
-  FROM toks, UNNEST(range(1, GREATEST(len(l) - 1, 1) + 1)) AS r(i)),
+  FROM toks, UNNEST(range(1, len(l))) AS r(i)
+  WHERE len(l) >= 2),
 per_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg)
 SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
        CAST(SUM(c) AS BIGINT) AS n_bigrams

@@ -99,7 +99,14 @@ def main() -> int:
     canonical["queries"] = {q: mins[q] for q in names}
     canonical["value"] = round(sum(mins.values()), 3)
     if args.replay:
-        canonical["trials"] = sum(t.get("trials", 1) for t in trials)
+        def n_trials(t) -> int:
+            # bench.py's default mode emits "trials" as a per-query dict of
+            # second-lists; bench_compare's own canonical emits an int
+            v = t.get("trials", 1)
+            if isinstance(v, dict):
+                return len(next(iter(v.values()))) if v else 1
+            return int(v)
+        canonical["trials"] = sum(n_trials(t) for t in trials)
         canonical["protocol"] = ("pooled min over %d replayed canonical runs"
                                  % len(trials))
     else:
