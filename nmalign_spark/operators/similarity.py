@@ -26,7 +26,7 @@ from .relational import t
 
 __all__ = ["brute_force_topk", "lsh_bucketed_topk", "ivf_topk",
            "embedding_cosine_dups", "embedding_cosine_dups_lsh",
-           "cosine_dups_recall", "lsh_planted_recall",
+           "cosine_dups_recall", "lsh_planted_recall", "label_cohesion",
            "QUERIES", "ORACLES"]
 
 N_QUERIES = 10      # vec_id < 10 are the query vectors
@@ -636,6 +636,55 @@ def ivf_recall_at_k(spark, sf_dir) -> dict:
     return out
 
 
+def label_cohesion(spark, sf_dir):
+    """Per-label centroid cohesion (SemDeDup-style cluster statistics,
+    Abbas et al. 2023, public): the per-cluster mean/min cosine to the
+    centroid that semantic-dedup pipelines threshold on.
+
+    Scale shape: the centroid is built by ``posexplode`` (narrow) +
+    ``groupBy(label, pos)`` average — partial aggregation bounds the
+    shuffle to |labels|·dim rows per map task regardless of corpus size;
+    the tiny centroid table is then broadcast back, so the scoring pass is
+    a narrow scan.  No all-pairs work anywhere (SemDeDup's pairwise step
+    is replaced by cosine-to-centroid, which is its documented
+    approximation)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    pos = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("v").alias("cv"))
+    centroids = cent.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"]).alias("centroid"))
+    scored = (e.join(F.broadcast(centroids), "label")
+              .select("label",
+                      _cosine(F.col("emb"), F.col("centroid")).alias("cos")))
+    return (scored.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.avg("cos"), 6).alias("avg_cos"),
+                 F.round(F.min("cos"), 6).alias("min_cos")))
+
+
+ORACLE_COHESION = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+pos AS (SELECT label, i AS pos, emb[i] AS v
+        FROM e, UNNEST(range(1, len(emb) + 1)) AS r(i)),
+cent AS (SELECT label, pos, AVG(v) AS cv FROM pos GROUP BY label, pos),
+cl AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label),
+scored AS (
+  SELECT e.label,
+         list_dot_product(emb, centroid) /
+           (sqrt(list_dot_product(emb, emb)) *
+            sqrt(list_dot_product(centroid, centroid))) AS cos
+  FROM e JOIN cl USING (label))
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(cos), 6) AS avg_cos,
+       ROUND(MIN(cos), 6) AS min_cos
+FROM scored GROUP BY label
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": brute_force_topk,
     "sim_lsh_topk": lsh_bucketed_topk,
@@ -643,6 +692,7 @@ QUERIES = {
     "sim_ivf_lloyd_topk": ivf_lloyd_topk,
     "sim_cosine_dups": embedding_cosine_dups,
     "sim_cosine_dups_lsh": embedding_cosine_dups_lsh,
+    "emb_label_cohesion": label_cohesion,
 }
 
 ORACLES = {
@@ -652,4 +702,5 @@ ORACLES = {
     "sim_ivf_lloyd_topk": ORACLE_IVF_LLOYD,
     "sim_cosine_dups": ORACLE_COS_DUPS,
     "sim_cosine_dups_lsh": ORACLE_COS_DUPS_LSH,
+    "emb_label_cohesion": ORACLE_COHESION,
 }

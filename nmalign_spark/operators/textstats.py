@@ -288,6 +288,180 @@ WHERE bucket < rate GROUP BY lang
 """
 
 
+# --- Gopher-style quality ruleset (Rae et al. 2021, public) ---------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WLEN_LO = 3.0
+GOPHER_WLEN_HI = 10.0
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOP_MIN = 2
+
+
+def gopher_rules(spark, sf_dir):
+    """Full Gopher-style document-quality ruleset: word count bounds, mean
+    word length in [3,10], >=80% words containing an alphabetic character,
+    >=2 stopwords — plus the combined pass flag.  The standard pre-filter
+    tier of an LLM data pipeline (applied before any expensive dedup).
+
+    Scale shape: pure Catalyst higher-order functions over the scan — no
+    shuffle, no UDF; whole-stage codegen end to end, so at 100 TB this is
+    scan-bound."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                          F.lit(0), lambda a, v: a + v)
+    mean_wl = sum_len / F.greatest(n, F.lit(1))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    frac_alpha = n_alpha / F.greatest(n, F.lit(1))
+    stop = _STOP["en"]
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(stop)))
+    passed = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+              & (mean_wl >= GOPHER_WLEN_LO) & (mean_wl <= GOPHER_WLEN_HI)
+              & (frac_alpha >= GOPHER_ALPHA_MIN) & (n_stop >= GOPHER_STOP_MIN))
+    return d.select("doc_id",
+                    n.alias("n_words"),
+                    F.round(mean_wl, 6).alias("mean_word_len"),
+                    F.round(frac_alpha, 6).alias("frac_alpha_words"),
+                    n_stop.alias("n_stopwords"),
+                    passed.alias("pass_gopher"))
+
+
+ORACLE_GOPHER = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS l
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(l) AS n_words,
+         CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+             / GREATEST(len(l), 1) AS mean_wl,
+         len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+             / GREATEST(len(l), 1) AS frac_alpha,
+         len(list_filter(l, x -> lower(x) IN {_STOP_SQL})) AS n_stopwords
+  FROM base)
+SELECT doc_id, n_words,
+       ROUND(mean_wl, 6) AS mean_word_len,
+       ROUND(frac_alpha, 6) AS frac_alpha_words,
+       n_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_wl >= {GOPHER_WLEN_LO} AND mean_wl <= {GOPHER_WLEN_HI}
+        AND frac_alpha >= {GOPHER_ALPHA_MIN}
+        AND n_stopwords >= {GOPHER_STOP_MIN}) AS pass_gopher
+FROM m
+"""
+
+
+# --- PII pattern counting (planted, deterministic) -------------------------
+
+PII_MOD = 37          # doc_id % PII_MOD == PII_REM gets planted PII
+PII_REM = 3
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+RE_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+RE_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(spark, sf_dir):
+    """PII-pattern scan (email / IPv4 / phone-like) — the redaction-audit
+    step of a web-text pipeline.  The synthetic corpus contains no PII, so
+    deterministic PII is planted on every ``doc_id % 37 == 3`` document
+    (identically in the oracle); those and only those must flag.
+
+    Regexes stay in the Java-regex ∩ RE2 common subset (char classes,
+    bounded repeats — no lookaround, no backrefs) so Spark and DuckDB
+    tokenize identically.  Scale shape: narrow scan-side projection,
+    whole-stage codegen, no shuffle."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com or 192.168."), (did % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))
+    aug = F.when(did % PII_MOD == PII_REM, planted).otherwise(F.col("text"))
+    n_email = F.size(F.regexp_extract_all(aug, F.lit(RE_EMAIL), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(aug, F.lit(RE_IPV4), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(aug, F.lit(RE_PHONE), F.lit(0)))
+    return d.select("doc_id",
+                    n_email.alias("n_emails"),
+                    n_ipv4.alias("n_ipv4"),
+                    n_phone.alias("n_phones"),
+                    ((n_email + n_ipv4 + n_phone) > 0).alias("has_pii"))
+
+
+ORACLE_PII = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = {PII_REM}
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 192.168.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{RE_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{RE_IPV4}')) AS n_ipv4,
+         len(regexp_extract_all(text, '{RE_PHONE}')) AS n_phones
+  FROM aug)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       (n_emails + n_ipv4 + n_phones) > 0 AS has_pii
+FROM m
+"""
+
+
+# --- corpus-level boilerplate n-grams --------------------------------------
+
+TOP_NGRAMS_K = 20
+
+
+def corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide most-frequent word bigrams — the boilerplate-discovery
+    pass of a crawl pipeline (repeated nav/footer phrases surface at the
+    top; the result seeds a strip-list).
+
+    Scale shape: the (bigram -> count) aggregation is map-side combinable
+    (partial HashAggregate before the single shuffle), and the final
+    ``ORDER BY .. LIMIT k`` compiles to TakeOrderedAndProject — per-
+    partition top-k then a k-row driver merge, never a global sort.  The
+    (count DESC, bigram ASC) ordering is a total order (bigram is the
+    grouping key, hence unique), so LIMIT is deterministic across
+    engines."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    exploded = (d.where(n >= 2)
+                .select("doc_id", F.explode(bigrams).alias("bg")))
+    counts = exploded.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    return (counts.orderBy(F.desc("n_occurrences"), "bg")
+            .limit(TOP_NGRAMS_K))
+
+
+ORACLE_TOP_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+  FROM documents),
+bigrams AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
+  FROM toks, UNNEST(range(1, len(l))) AS r(i)
+  WHERE len(l) >= 2)
+SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bigrams GROUP BY bg
+ORDER BY n_occurrences DESC, bg ASC
+LIMIT {TOP_NGRAMS_K}
+"""
+
+
 QUERIES = {
     "text_token_counts": token_counts,
     "text_quality": quality_scores,
@@ -296,6 +470,9 @@ QUERIES = {
     "text_decontaminate": decontaminate_flags,
     "text_repetition": repetition_ratio,
     "mix_stratified_sample": stratified_sample,
+    "text_gopher_rules": gopher_rules,
+    "text_pii_counts": pii_counts,
+    "corpus_top_ngrams": corpus_top_ngrams,
 }
 
 ORACLES = {
@@ -306,4 +483,7 @@ ORACLES = {
     "text_decontaminate": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
     "mix_stratified_sample": ORACLE_MIX,
+    "text_gopher_rules": ORACLE_GOPHER,
+    "text_pii_counts": ORACLE_PII,
+    "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
 }

@@ -98,3 +98,17 @@ def test_ivf_index_partition_pruning(spark, tmp_path, sf_small):
     base = spark.read.parquet(idx)
     want = base.where(base.cell.isin(probe_cells)).count()
     assert probed.count() == want > 0
+
+
+def test_label_cohesion_partitions_and_bounds(spark, sf_small):
+    """One row per label, vector counts partition the table, and the
+    cosine stats are coherent (min <= avg, both within [-1, 1])."""
+    from nmalign_spark.operators.similarity import label_cohesion
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    rows = label_cohesion(spark, sf_small).collect()
+    assert {r.label for r in rows} == \
+        {r.label for r in emb.select("label").distinct().collect()}
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    for r in rows:
+        assert -1.0 <= r.min_cos <= r.avg_cos <= 1.0 + 1e-9

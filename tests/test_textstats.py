@@ -42,3 +42,52 @@ def test_url_canonicalization_collapses_variants(spark, sf_small):
         assert u.startswith("https://example.org/")
         assert "www" not in u and ":443" not in u
         assert "utm_" not in u and "#" not in u and not u.endswith("/")
+
+
+def test_pii_counts_flags_exactly_planted(spark, sf_small):
+    """Planted docs (doc_id % 37 == 3) carry exactly one email, one IPv4,
+    one phone; every other document stays clean."""
+    from nmalign_spark.operators.textstats import (PII_MOD, PII_REM,
+                                                   pii_counts)
+    rows = pii_counts(spark, sf_small).collect()
+    assert any(r.doc_id % PII_MOD == PII_REM for r in rows)
+    for r in rows:
+        if r.doc_id % PII_MOD == PII_REM:
+            assert (r.n_emails, r.n_ipv4, r.n_phones) == (1, 1, 1)
+            assert r.has_pii
+        else:
+            assert (r.n_emails, r.n_ipv4, r.n_phones) == (0, 0, 0)
+            assert not r.has_pii
+
+
+def test_gopher_rules_flag_consistent_with_metrics(spark, sf_small):
+    """pass_gopher must equal the conjunction of the emitted metrics."""
+    from nmalign_spark.operators.textstats import (GOPHER_ALPHA_MIN,
+                                                   GOPHER_MAX_WORDS,
+                                                   GOPHER_MIN_WORDS,
+                                                   GOPHER_STOP_MIN,
+                                                   GOPHER_WLEN_HI,
+                                                   GOPHER_WLEN_LO,
+                                                   gopher_rules)
+    rows = gopher_rules(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        expect = (GOPHER_MIN_WORDS <= r.n_words <= GOPHER_MAX_WORDS
+                  and GOPHER_WLEN_LO <= r.mean_word_len <= GOPHER_WLEN_HI
+                  and r.frac_alpha_words >= GOPHER_ALPHA_MIN
+                  and r.n_stopwords >= GOPHER_STOP_MIN)
+        assert bool(r.pass_gopher) == expect, r
+        assert 0.0 <= r.frac_alpha_words <= 1.0
+
+
+def test_corpus_top_ngrams_ordering(spark, sf_small):
+    """Exactly K rows, counts non-increasing, doc counts bounded by
+    occurrence counts, deterministic tie-break by bigram."""
+    from nmalign_spark.operators.textstats import (TOP_NGRAMS_K,
+                                                   corpus_top_ngrams)
+    rows = corpus_top_ngrams(spark, sf_small).collect()
+    assert len(rows) == TOP_NGRAMS_K
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_occurrences, b.bg) >= (b.n_occurrences, a.bg)
+    for r in rows:
+        assert 1 <= r.n_docs <= r.n_occurrences
