@@ -28,7 +28,7 @@ from .relational import fan_out, t
 
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
            "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
-           "ORACLES", "QUERIES"]
+           "span_dup_fraction", "ORACLES", "QUERIES"]
 
 SHINGLE_K = 5          # words per shingle
 STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
@@ -482,6 +482,48 @@ SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id
 """
 
 
+# --- duplicated-span fraction (Lee et al. 2022-style signal) ----------------
+
+def span_dup_fraction(spark, sf_dir):
+    """Per-document duplicated-span fraction: the share of a document's
+    distinct word-5-gram shingles that also occur in at least one OTHER
+    document.  The document-level signal of substring-dedup pipelines
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", public): docs whose text is mostly corpus-repeated spans get
+    dropped even when no single whole-doc duplicate exists.
+
+    Scale shape: shingle document-frequency is a map-side-combinable
+    ``groupBy(shingle).count`` (the input is already distinct per doc);
+    the join back to the shingle table is a keyed equi-join on the
+    shingle — hot boilerplate shingles are exactly the AQE skew-join
+    case, split at runtime; the per-doc roll-up is the final keyed agg.
+    No collect_list of unbounded posting lists anywhere, so a 1M-doc
+    stop shingle costs a skewed join partition, not a giant row."""
+    sh = _shingles(augmented_docs(spark, sf_dir))
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (sh.join(dfc, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_shingles"),
+                 F.round(F.sum((F.col("df") >= 2).cast("long"))
+                         / F.count(F.lit(1)), 6).alias("dup_frac")))
+
+
+ORACLE_SPAN_FRACTION = f"""
+WITH {AUG_SQL},
+{SHINGLES_SQL.strip().rstrip()},
+dfs AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles,
+       ROUND(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS dup_frac
+FROM shingles s JOIN dfs d USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_duplicates,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -489,6 +531,7 @@ QUERIES = {
     "dedup_simhash": simhash_signatures,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_components": duplicate_components,
+    "dedup_span_fraction": span_dup_fraction,
 }
 
 ORACLES = {
@@ -498,4 +541,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_components": ORACLE_COMPONENTS,
+    "dedup_span_fraction": ORACLE_SPAN_FRACTION,
 }

@@ -58,3 +58,21 @@ def test_simhash_pairs_find_planted_dups(spark):
     for dup in exact_ids:
         assert pairs.get((dup - 200000, dup)) == 0
     assert len(pairs) < 0.01 * n_docs * (n_docs - 1) / 2
+
+
+def test_span_dup_fraction_planted_semantics(spark, sf_small):
+    """Docs with an exact planted copy score dup_frac == 1.0 (every
+    shingle repeats), near-dup twins (every 7th word dropped) still share
+    the shingles inside undisturbed 6-token runs, and the fraction is a
+    valid ratio everywhere."""
+    from nmalign_spark.operators.dedup import span_dup_fraction
+
+    rows = {r.doc_id: r for r in span_dup_fraction(spark, sf_small).collect()}
+    assert rows
+    for did, r in rows.items():
+        assert 0 <= r.n_dup_shingles <= r.n_shingles
+        assert 0.0 <= r.dup_frac <= 1.0
+        if did >= 200000 or (did < 100000 and did % 10 == 0):
+            assert r.dup_frac == 1.0, (did, r)
+    near = [r for did, r in rows.items() if 100000 <= did < 200000]
+    assert near and all(r.dup_frac > 0 for r in near)
