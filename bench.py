@@ -115,6 +115,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["s7_mets_workspace"] = lambda: relational.s7_mets_workspace(spark, sf_dir)
         queries["dedup_simhash_pairs"] = lambda: dedup.simhash_pairs(spark, sf_dir)
         queries["sim_lsh_topk"] = lambda: similarity.lsh_bucketed_topk(spark, sf_dir)
+        queries["dedup_span_fraction"] = lambda: dedup.span_dup_fraction(spark, sf_dir)
+        queries["text_gopher_rules"] = lambda: textstats.gopher_rules(spark, sf_dir)
+        queries["corpus_top_ngrams"] = lambda: textstats.corpus_top_ngrams(spark, sf_dir)
+        queries["emb_label_cohesion"] = lambda: similarity.label_cohesion(spark, sf_dir)
     except ImportError:
         pass
 
