@@ -5,7 +5,7 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
 
 Modes:
   python bench.py                 # headline record: per-query MIN over
-                                  # $SPARK_GRAFT_BENCH_TRIALS (default 3)
+                                  # $SPARK_GRAFT_BENCH_TRIALS (default 4)
                                   # fresh-JVM passes (driver per-round)
   python bench.py --one-pass      # one pass in this process (the worker
                                   # the default mode spawns per trial)
@@ -150,7 +150,7 @@ def run_one_pass() -> dict:
     }
 
 
-BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
 
 
 def run_full(trials: int = BENCH_TRIALS) -> dict:
