@@ -462,6 +462,51 @@ LIMIT {TOP_NGRAMS_K}
 """
 
 
+# --- unigram-LM perplexity proxy (CCNet-style quality signal) --------------
+
+def unigram_logprob(spark, sf_dir):
+    """Per-document mean negative log-probability under the corpus's own
+    unigram model — the engine-native stand-in for CCNet's LM-perplexity
+    quality bucket (Wenzek et al. 2020, public): rare-vocabulary /
+    gibberish documents score high, common prose scores low.
+
+    Scale shape: the unigram frequency table is a map-side-combinable
+    ``groupBy(token).count`` (vocabulary, not corpus, sized); the scalar
+    token total rides along as a broadcast 1-row cross join; the score
+    pass is a keyed equi-join of tokens to frequencies — hot stopword
+    tokens are the canonical AQE skew-join split — then one per-doc
+    aggregation.  ln() differences between engines are sub-ulp and
+    vanish under the round-6 gate."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+        .alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = (toks.join(freq, "tok")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id",
+                      (-F.log(F.col("c") / F.col("total"))).alias("nlp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("nlp"), 6).alias("avg_neg_logprob")))
+
+
+ORACLE_UNIGRAM = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents),
+freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-ln(c * 1.0 / total)), 6) AS avg_neg_logprob
+FROM toks JOIN freq USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_counts": token_counts,
     "text_quality": quality_scores,
@@ -473,6 +518,7 @@ QUERIES = {
     "text_gopher_rules": gopher_rules,
     "text_pii_counts": pii_counts,
     "corpus_top_ngrams": corpus_top_ngrams,
+    "text_unigram_logprob": unigram_logprob,
 }
 
 ORACLES = {
@@ -486,4 +532,5 @@ ORACLES = {
     "text_gopher_rules": ORACLE_GOPHER,
     "text_pii_counts": ORACLE_PII,
     "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
+    "text_unigram_logprob": ORACLE_UNIGRAM,
 }

@@ -91,3 +91,19 @@ def test_corpus_top_ngrams_ordering(spark, sf_small):
         assert (a.n_occurrences, b.bg) >= (b.n_occurrences, a.bg)
     for r in rows:
         assert 1 <= r.n_docs <= r.n_occurrences
+
+
+def test_unigram_logprob_bounds_and_counts(spark, sf_small):
+    """Scores are positive (every unigram probability < 1 on this corpus),
+    finite, and per-doc token counts match the whitespace tokenization."""
+    from nmalign_spark.operators.textstats import (token_counts,
+                                                   unigram_logprob)
+    import math
+
+    lp = {r.doc_id: r for r in unigram_logprob(spark, sf_small).collect()}
+    tc = {r.doc_id: r.n_ws_tokens
+          for r in token_counts(spark, sf_small).collect()}
+    assert set(lp) == {d for d, n in tc.items() if n > 0}
+    for did, r in lp.items():
+        assert r.n_tokens == tc[did]
+        assert 0.0 < r.avg_neg_logprob and math.isfinite(r.avg_neg_logprob)
