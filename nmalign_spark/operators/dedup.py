@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .relational import fan_out, t
+from .relational import fan_out, sliding_ngrams, t
 
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
            "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
@@ -95,11 +95,9 @@ SELECT doc_id AS dup_id, keep_id FROM keep WHERE doc_id != keep_id
 # --- shingles (shared by jaccard / minhash) ---------------------------------
 
 def _shingles(aug):
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - SHINGLE_K + 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, SHINGLE_K), " "))
+    # sliding_ngrams keeps split(text) at O(K) evaluations per row — the
+    # closure form re-tokenized per window (O(n²)/doc, see relational.py)
+    sh = sliding_ngrams(F.split("text", " "), SHINGLE_K)
     return (aug.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
 
 

@@ -42,6 +42,27 @@ def fan_out(df, want: int | None = None):
     return df
 
 
+def sliding_ngrams(toks, k: int, sep: str = " "):
+    """All length-``k`` sliding windows of the ``toks`` array column,
+    joined by ``sep``; arrays shorter than ``k`` yield one window of the
+    whole array (matching ``GREATEST(n-k+1, 1)`` oracle semantics).
+
+    Why not ``transform(sequence(1, n-k+1), i -> slice(toks, i, k))``:
+    a lambda that closes over ``toks`` re-evaluates the whole token
+    expression (typically ``split(text)``) for EVERY window — O(n²)
+    tokenization per row, visible verbatim in the Generate node of the
+    physical plan.  Here ``toks`` appears only as a direct argument of
+    ``k`` slices, so it is evaluated O(k) times per row and the windows
+    are built by ``zip_with`` over lambda-bound variables only."""
+    n = F.size(toks)
+    cnt = n - F.lit(k) + 1
+    win = F.slice(toks, 1, cnt)
+    for i in range(1, k):
+        win = F.zip_with(win, F.slice(toks, i + 1, cnt),
+                         lambda a, b: F.concat_ws(sep, a, b))
+    return F.when(n >= k, win).otherwise(F.array(F.array_join(toks, sep)))
+
+
 # --- J1: page-ID equi-join (ocrd/cli.py:55-108 zip_input_files) ------------
 
 def j1_page_pairing(spark, sf_dir):

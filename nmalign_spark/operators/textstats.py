@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .relational import t
+from .relational import sliding_ngrams, t
 
 __all__ = ["token_counts", "quality_scores", "lang_id", "fingerprints",
            "QUERIES", "ORACLES"]
@@ -174,11 +174,8 @@ def decontaminate_flags(spark, sf_dir):
                .select((F.col("doc_id") + 300000).alias("doc_id"),
                        F.concat_ws(" ", "text", "btext").alias("text")))
     d = base.unionByName(planted)
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - DECON_N + 1, F.lit(1))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, DECON_N), " ")))
+    grams = F.transform(sliding_ngrams(F.split("text", " "), DECON_N),
+                        lambda g: F.md5(g))
     exploded = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench = exploded.where(is_bench).select("h").distinct()
@@ -217,13 +214,9 @@ def repetition_ratio(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1)))
-    # docs with < 2 tokens have no bigrams and emit no row — guarded
-    # BEFORE element_at (ANSI mode throws on out-of-bounds indexes, and
-    # DuckDB's out-of-bounds NULL would diverge); same WHERE in the oracle
+    bigrams = sliding_ngrams(toks, 2)
+    # docs with < 2 tokens have no bigrams and emit no row (same WHERE in
+    # the oracle; also keeps sliding_ngrams' short-array branch out)
     exploded = (d.where(n >= 2)
                 .select("doc_id", F.explode(bigrams).alias("bg")))
     per_bg = exploded.groupBy("doc_id", "bg").agg(
@@ -433,10 +426,7 @@ def corpus_top_ngrams(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1)))
+    bigrams = sliding_ngrams(toks, 2)
     exploded = (d.where(n >= 2)
                 .select("doc_id", F.explode(bigrams).alias("bg")))
     counts = exploded.groupBy("bg").agg(
