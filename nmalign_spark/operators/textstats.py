@@ -497,6 +497,72 @@ GROUP BY doc_id
 """
 
 
+# --- token-budget quota sampling (distributed prefix sum) ------------------
+
+TOKEN_BUDGET = 5000    # per-language token quota
+
+
+def token_budget_sample(spark, sf_dir):
+    """Per-language token-budget quota fill: walk documents in a
+    deterministic hash order and keep them until the language's token
+    budget is exhausted — the quota-sampling step of data mixing ("use at
+    most B tokens of language L"), resume-safe because the order is
+    content-addressed, not rand().
+
+    Scale shape — a distributed two-phase prefix sum instead of one
+    global per-language window sort: (1) per (lang, hash-bucket) token
+    sums — a tiny map-side-combined agg (|langs|·16 rows); (2) exclusive
+    bucket offsets by a window over that tiny table; (3) offsets
+    broadcast back, and the running total needs only an intra-bucket
+    cumulative window partitioned by (lang, bucket) — 16× more partitions
+    than the naive per-lang global sort, and each partition sorts 1/16th
+    of a language.  Because the bucket is the first hex digit of the md5
+    ordering key, bucket-major + intra-bucket order IS the global hash
+    order, so the result is identical to the oracle's single global
+    cumulative window."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select("doc_id", "lang", n_tok.alias("n_tok"), h.alias("h"),
+                    F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+                    .alias("bkt"))
+    per_bkt = base.groupBy("lang", "bkt").agg(F.sum("n_tok").alias("s"))
+    w_off = (Window.partitionBy("lang").orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = per_bkt.select(
+        "lang", "bkt",
+        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"))
+    w_in = (Window.partitionBy("lang", "bkt").orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (base.join(F.broadcast(offs), ["lang", "bkt"])
+           .select("lang", "n_tok",
+                   (F.col("off") + F.sum("n_tok").over(w_in)).alias("cum")))
+    return (cum.where(F.col("cum") <= TOKEN_BUDGET)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs_kept"),
+                 F.sum("n_tok").cast("long").alias("tokens_kept")))
+
+
+ORACLE_TOKEN_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+cum AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+FROM cum WHERE cum <= {TOKEN_BUDGET}
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_counts": token_counts,
     "text_quality": quality_scores,
@@ -509,6 +575,7 @@ QUERIES = {
     "text_pii_counts": pii_counts,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_unigram_logprob": unigram_logprob,
+    "mix_token_budget": token_budget_sample,
 }
 
 ORACLES = {
@@ -523,4 +590,5 @@ ORACLES = {
     "text_pii_counts": ORACLE_PII,
     "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
     "text_unigram_logprob": ORACLE_UNIGRAM,
+    "mix_token_budget": ORACLE_TOKEN_BUDGET,
 }

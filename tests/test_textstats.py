@@ -107,3 +107,33 @@ def test_unigram_logprob_bounds_and_counts(spark, sf_small):
     for did, r in lp.items():
         assert r.n_tokens == tc[did]
         assert 0.0 < r.avg_neg_logprob and math.isfinite(r.avg_neg_logprob)
+
+
+def test_token_budget_two_phase_equals_global_window(spark, sf_small):
+    """The distributed two-phase prefix sum must reproduce the naive
+    single global-window cumulative sum exactly, and every language's
+    kept tokens must respect the budget."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from nmalign_spark.operators.textstats import (TOKEN_BUDGET,
+                                                   token_budget_sample)
+
+    two_phase = {r.lang: (r.n_docs_kept, r.tokens_kept)
+                 for r in token_budget_sample(spark, sf_small).collect()}
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (Window.partitionBy("lang").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    naive = (d.select("lang", n_tok.alias("n_tok"), h.alias("h"), "doc_id")
+             .withColumn("cum", F.sum("n_tok").over(w))
+             .where(F.col("cum") <= TOKEN_BUDGET)
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("n_tok").cast("long").alias("tk")))
+    expected = {r.lang: (r.n, r.tk) for r in naive.collect()}
+    assert two_phase == expected
+    for _, (n, tk) in two_phase.items():
+        assert 0 < tk <= TOKEN_BUDGET
