@@ -137,3 +137,36 @@ def test_token_budget_two_phase_equals_global_window(spark, sf_small):
     assert two_phase == expected
     for _, (n, tk) in two_phase.items():
         assert 0 < tk <= TOKEN_BUDGET
+
+
+def test_sliding_ngrams_equals_closure_form(spark):
+    """relational.sliding_ngrams (zip_with over slices) must reproduce the
+    quadratic closure form exactly for k in {2,3,5,8} over adversarial
+    texts: empties, single tokens, repeated spaces (empty tokens kept,
+    matching split semantics), unicode, n<k / n==k / n==k+1 boundaries,
+    and 300 seeded random word soups."""
+    import random
+    from pyspark.sql import functions as F
+    from nmalign_spark.operators.relational import sliding_ngrams
+
+    rng = random.Random(42)
+    texts = ["", "one", "a b", "x  y   z", "ſ ͤ ß 漢 字 é",
+             "t1 t2 t3 t4 t5", "t1 t2 t3 t4 t5 t6",
+             " lead", "trail ", "  "]
+    words = ["alpha", "beta", "gamma", "", "δ", "x"]
+    texts += [" ".join(rng.choice(words)
+                       for _ in range(rng.randint(0, 30)))
+              for _ in range(300)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+
+    for k in (2, 3, 5, 8):
+        toks = F.split("text", " ")
+        n = F.size(toks)
+        old = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "))
+        got = df.select("id", old.alias("a"),
+                        sliding_ngrams(F.split("text", " "), k).alias("b")) \
+                .where(F.col("a") != F.col("b")).count()
+        assert got == 0, f"k={k}: {got} rows diverge"
