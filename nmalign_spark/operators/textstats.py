@@ -291,17 +291,11 @@ GOPHER_ALPHA_MIN = 0.8
 GOPHER_STOP_MIN = 2
 
 
-def gopher_rules(spark, sf_dir):
-    """Full Gopher-style document-quality ruleset: word count bounds, mean
-    word length in [3,10], >=80% words containing an alphabetic character,
-    >=2 stopwords — plus the combined pass flag.  The standard pre-filter
-    tier of an LLM data pipeline (applied before any expensive dedup).
-
-    Scale shape: pure Catalyst higher-order functions over the scan — no
-    shuffle, no UDF; whole-stage codegen end to end, so at 100 TB this is
-    scan-bound."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
+def gopher_metrics(text_col="text"):
+    """The Gopher rule expressions over a ``text`` column — shared by the
+    batch query, the per-language gate, and the streaming at-ingest twin
+    (streaming/extract.py) so all three filter identically."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
     n = F.size(toks)
     sum_len = F.aggregate(F.transform(toks, lambda x: F.length(x)),
                           F.lit(0), lambda a, v: a + v)
@@ -313,12 +307,28 @@ def gopher_rules(spark, sf_dir):
     passed = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
               & (mean_wl >= GOPHER_WLEN_LO) & (mean_wl <= GOPHER_WLEN_HI)
               & (frac_alpha >= GOPHER_ALPHA_MIN) & (n_stop >= GOPHER_STOP_MIN))
+    return {"n_words": n, "mean_word_len": mean_wl,
+            "frac_alpha_words": frac_alpha, "n_stopwords": n_stop,
+            "pass_gopher": passed}
+
+
+def gopher_rules(spark, sf_dir):
+    """Full Gopher-style document-quality ruleset: word count bounds, mean
+    word length in [3,10], >=80% words containing an alphabetic character,
+    >=2 stopwords — plus the combined pass flag.  The standard pre-filter
+    tier of an LLM data pipeline (applied before any expensive dedup).
+
+    Scale shape: pure Catalyst higher-order functions over the scan — no
+    shuffle, no UDF; whole-stage codegen end to end, so at 100 TB this is
+    scan-bound."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = gopher_metrics()
     return d.select("doc_id",
-                    n.alias("n_words"),
-                    F.round(mean_wl, 6).alias("mean_word_len"),
-                    F.round(frac_alpha, 6).alias("frac_alpha_words"),
-                    n_stop.alias("n_stopwords"),
-                    passed.alias("pass_gopher"))
+                    m["n_words"].alias("n_words"),
+                    F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+                    F.round(m["frac_alpha_words"], 6).alias("frac_alpha_words"),
+                    m["n_stopwords"].alias("n_stopwords"),
+                    m["pass_gopher"].alias("pass_gopher"))
 
 
 ORACLE_GOPHER = f"""
@@ -344,6 +354,43 @@ SELECT doc_id, n_words,
         AND frac_alpha >= {GOPHER_ALPHA_MIN}
         AND n_stopwords >= {GOPHER_STOP_MIN}) AS pass_gopher
 FROM m
+"""
+
+
+def quality_gate_counts(spark, sf_dir):
+    """Per-language pass/fail counts of the Gopher gate — the batch twin
+    of the streaming at-ingest filter (streaming/extract.py
+    ``stream_quality_gate``), sharing the exact same rule expressions via
+    :func:`gopher_metrics`.  One map-side-combinable keyed agg."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sel = d.select("lang", gopher_metrics()["pass_gopher"].alias("p"))
+    return (sel.groupBy("lang")
+            .agg(F.sum(F.col("p").cast("long")).alias("n_pass"),
+                 F.sum((~F.col("p")).cast("long")).alias("n_fail")))
+
+
+_GOPHER_COND = (f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} "
+                f"AND mean_wl >= {GOPHER_WLEN_LO} AND mean_wl <= {GOPHER_WLEN_HI} "
+                f"AND frac_alpha >= {GOPHER_ALPHA_MIN} "
+                f"AND n_stopwords >= {GOPHER_STOP_MIN})")
+
+ORACLE_QUALITY_GATE = f"""
+WITH base AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS l
+  FROM documents),
+m AS (
+  SELECT lang,
+         len(l) AS n_words,
+         CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+             / GREATEST(len(l), 1) AS mean_wl,
+         len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+             / GREATEST(len(l), 1) AS frac_alpha,
+         len(list_filter(l, x -> lower(x) IN {_STOP_SQL})) AS n_stopwords
+  FROM base)
+SELECT lang,
+       CAST(SUM(CASE WHEN {_GOPHER_COND} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN {_GOPHER_COND} THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+FROM m GROUP BY lang
 """
 
 
@@ -576,6 +623,7 @@ QUERIES = {
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_unigram_logprob": unigram_logprob,
     "mix_token_budget": token_budget_sample,
+    "st_quality_gate": quality_gate_counts,
 }
 
 ORACLES = {
@@ -591,4 +639,5 @@ ORACLES = {
     "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
     "text_unigram_logprob": ORACLE_UNIGRAM,
     "mix_token_budget": ORACLE_TOKEN_BUDGET,
+    "st_quality_gate": ORACLE_QUALITY_GATE,
 }

@@ -36,3 +36,25 @@ def stream_align_pages(spark, src_dir: str, normalization=None, cutoff=None,
     return pages.select("url", "html", "text").mapInPandas(
         _make_pages_kernel(normalization, cutoff, try_subseg, ()),
         schema=ALIGN_SCHEMA)
+
+
+DOCS_DDL = ("doc_id long, text string, lang string, source string, "
+            "n_chars long")
+
+
+def stream_quality_gate(spark, src_dir: str,
+                        max_files_per_trigger: int | None = None):
+    """Streaming at-ingest quality gate: new document files flow through
+    the SAME Gopher ruleset expressions as the batch filter
+    (operators/textstats.gopher_metrics) and only passing docs continue
+    downstream.  Stateless narrow plan (scan -> filter), so append mode
+    is exact and no watermark is needed; the batch twin keeps the
+    identical id set (tests/test_streaming_extract.py)."""
+    from ..operators.textstats import gopher_metrics
+
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+    return docs.where(gopher_metrics()["pass_gopher"]) \
+               .select("doc_id", "lang")

@@ -43,3 +43,31 @@ def test_stream_align_equals_batch(spark, pages_dir, tmp_path):
     want = align_pages(spark.read.parquet(pages_dir),
                        normalization=DEFAULT_NORMALIZATION).toPandas()
     assert _canon(got) == _canon(want)
+
+
+def test_stream_quality_gate_equals_batch(spark, tmp_path):
+    """The streaming at-ingest Gopher gate must keep exactly the id set
+    the batch filter keeps (same shared expressions), drained with
+    availableNow across multiple micro-batches."""
+    from pyspark.sql import functions as F
+    from nmalign_spark.operators.textstats import gopher_metrics
+    from nmalign_spark.streaming.extract import stream_quality_gate
+
+    src = tmp_path / "docs_stream"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(str(src))
+
+    sdf = stream_quality_gate(spark, str(src), max_files_per_trigger=1)
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("gate_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.sql(
+        "SELECT doc_id FROM gate_stream").collect()}
+    want = {r.doc_id for r in
+            spark.read.parquet(str(src))
+            .where(gopher_metrics()["pass_gopher"])
+            .select("doc_id").collect()}
+    assert got == want and 0 < len(want) < docs.count()
