@@ -522,6 +522,44 @@ GROUP BY s.doc_id
 """
 
 
+# --- incremental dedup against a committed corpus ---------------------------
+
+def incremental_dedup(spark, sf_dir):
+    """Incremental-crawl exact dedup: an incoming batch (the planted
+    twins, doc_id >= 100000) is checked against the already-committed
+    corpus (originals) by content hash — the at-ingest production
+    pattern, where every new crawl segment joins a persisted hash index
+    instead of re-deduping the whole corpus.  Returns (new_id, dup_of)
+    for incoming docs whose text already exists; the keep-path is the
+    same join as ``left_anti``.
+
+    Scale shape: the committed side is column-pruned to the 32-char hash
+    (at 10^12 docs: the hash index table, not the corpus), pre-aggregated
+    to one min-id row per hash (map-side combinable), then a keyed
+    equi-join — hash keys are uniform, so no skew handling is needed, and
+    AQE picks broadcast vs shuffle by the index's actual size."""
+    aug = augmented_docs(spark, sf_dir)
+    committed = (aug.where(F.col("doc_id") < 100000)
+                 .groupBy(F.md5("text").alias("h"))
+                 .agg(F.min("doc_id").alias("dup_of")))
+    incoming = (aug.where(F.col("doc_id") >= 100000)
+                .select(F.col("doc_id").alias("new_id"),
+                        F.md5("text").alias("h")))
+    return incoming.join(committed, "h").select("new_id", "dup_of")
+
+
+ORACLE_INCREMENTAL = f"""
+WITH {AUG_SQL},
+committed AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS dup_of
+  FROM aug WHERE doc_id < 100000 GROUP BY md5(text)),
+incoming AS (
+  SELECT doc_id AS new_id, md5(text) AS h
+  FROM aug WHERE doc_id >= 100000)
+SELECT new_id, dup_of FROM incoming JOIN committed USING (h)
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_duplicates,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -530,6 +568,7 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_components": duplicate_components,
     "dedup_span_fraction": span_dup_fraction,
+    "dedup_incremental": incremental_dedup,
 }
 
 ORACLES = {
@@ -540,4 +579,5 @@ ORACLES = {
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_components": ORACLE_COMPONENTS,
     "dedup_span_fraction": ORACLE_SPAN_FRACTION,
+    "dedup_incremental": ORACLE_INCREMENTAL,
 }

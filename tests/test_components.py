@@ -76,3 +76,20 @@ def test_span_dup_fraction_planted_semantics(spark, sf_small):
             assert r.dup_frac == 1.0, (did, r)
     near = [r for did, r in rows.items() if 100000 <= did < 200000]
     assert near and all(r.dup_frac > 0 for r in near)
+
+
+def test_incremental_dedup_flags_exact_twins_only(spark, sf_small):
+    """Exactly the planted exact twins (+200000) hit the committed hash
+    index; near-dup twins (+100000, word-dropped) never match, and every
+    dup_of points at a committed doc with identical text."""
+    from nmalign_spark.operators.dedup import (augmented_docs,
+                                               incremental_dedup)
+
+    rows = incremental_dedup(spark, sf_small).collect()
+    texts = {r.doc_id: r.text
+             for r in augmented_docs(spark, sf_small).collect()}
+    expected = {d for d in texts if d >= 200000}
+    assert {r.new_id for r in rows} == expected
+    for r in rows:
+        assert r.dup_of < 100000
+        assert texts[r.dup_of] == texts[r.new_id]
