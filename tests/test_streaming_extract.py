@@ -71,3 +71,45 @@ def test_stream_quality_gate_equals_batch(spark, tmp_path):
             .where(gopher_metrics()["pass_gopher"])
             .select("doc_id").collect()}
     assert got == want and 0 < len(want) < docs.count()
+
+
+def test_stream_quality_gate_exactly_once_across_restarts(spark, tmp_path):
+    """Checkpointed restart: drain once, land new files, restart from the
+    same checkpoint — the second drain processes ONLY the new files (no
+    reprocessing, no loss), and the union equals the batch filter over
+    everything.  This is the streaming face of the pipeline's resume
+    guarantee (plans/pipeline.py anti-join)."""
+    from pyspark.sql import functions as F
+    from nmalign_spark.operators.textstats import gopher_metrics
+    from nmalign_spark.streaming.extract import stream_quality_gate
+
+    src = tmp_path / "docs_inc"
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "ckpt_inc")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.where(F.col("doc_id") % 2 == 0).repartition(2) \
+        .write.mode("overwrite").parquet(str(src))
+
+    def drain():
+        # parquet sink: the real exactly-once path (memory sink cannot
+        # recover from a checkpoint)
+        q = (stream_quality_gate(spark, str(src))
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids))   # exactly-once: no dup rows
+        return set(ids)
+
+    first = drain()
+    docs.where(F.col("doc_id") % 2 == 1).repartition(2) \
+        .write.mode("append").parquet(str(src))
+    both = drain()
+
+    want = {r.doc_id for r in
+            docs.where(gopher_metrics()["pass_gopher"])
+            .select("doc_id").collect()}
+    assert first and first < both      # second drain added only new files
+    assert both == want                # nothing lost, nothing reprocessed
