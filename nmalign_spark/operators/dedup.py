@@ -560,6 +560,86 @@ SELECT new_id, dup_of FROM incoming JOIN committed USING (h)
 """
 
 
+# --- composed curation verdict ----------------------------------------------
+
+VERDICT_SPAN_MAX = 0.8   # drop non-dup-group docs above this dup-span frac
+
+
+def curation_verdict(spark, sf_dir):
+    """The curation-pipeline endpoint: one row per document with the
+    stacked keep/drop decision and its reasons — Gopher quality gate
+    (operators/textstats.gopher_metrics), exact-duplicate demotion
+    (keep the min-id canonical, drop the copies), and the duplicated-span
+    drop for boilerplate-heavy docs that have no exact twin.  This is the
+    query a user actually runs to materialize a training split.
+
+    Scale shape: the gopher flags are scan-side expressions (no shuffle);
+    the exact-dup window is one shuffle on md5; the span fraction reuses
+    the shingle-DF join (see span_dup_fraction); the final assembly joins
+    on doc_id — co-keyed, AQE-planned.  Reasons are emitted as columns
+    (not a packed bitmap) so the drop-rate per rule is one aggregation
+    away."""
+    from .textstats import gopher_metrics
+
+    aug = augmented_docs(spark, sf_dir)
+    base = aug.select("doc_id", "text",
+                      gopher_metrics()["pass_gopher"].alias("pass_gopher"))
+    w = Window.partitionBy(F.md5("text"))
+    flagged = base.select(
+        "doc_id", "pass_gopher",
+        (F.count(F.lit(1)).over(w) > 1).alias("in_dup_group"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_exact_dup"))
+    span = span_dup_fraction(spark, sf_dir).select("doc_id", "dup_frac")
+    v = flagged.join(span, "doc_id")
+    high_span = (~F.col("in_dup_group")) & (F.col("dup_frac") >= VERDICT_SPAN_MAX)
+    return v.select(
+        "doc_id", "pass_gopher", "is_exact_dup",
+        F.col("dup_frac").alias("span_dup_frac"),
+        high_span.alias("high_span_dup"),
+        (F.col("pass_gopher") & ~F.col("is_exact_dup") & ~high_span)
+        .alias("keep"))
+
+
+_VG = ("(n_words >= 50 AND n_words <= 100000 AND mean_wl >= 3.0 "
+       "AND mean_wl <= 10.0 AND frac_alpha >= 0.8 AND n_stopwords >= 2)")
+
+ORACLE_VERDICT = f"""
+WITH {AUG_SQL},
+{SHINGLES_SQL.strip()},
+dfs AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+span AS (
+  SELECT s.doc_id,
+         SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_frac
+  FROM shingles s JOIN dfs d USING (shingle) GROUP BY s.doc_id),
+toksb AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS l
+  FROM aug),
+gop AS (
+  SELECT doc_id, text,
+         {_VG.replace('n_words', 'len(l)')
+             .replace('mean_wl',
+                      'CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / GREATEST(len(l), 1)')
+             .replace('frac_alpha',
+                      "len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / GREATEST(len(l), 1)")
+             .replace('n_stopwords',
+                      "len(list_filter(l, x -> lower(x) IN ('the','and','of','is','a')))")}
+         AS pass_gopher
+  FROM toksb),
+dup AS (
+  SELECT doc_id, pass_gopher,
+         COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS in_dup_group,
+         doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+  FROM gop)
+SELECT v.doc_id, v.pass_gopher, v.is_exact_dup,
+       ROUND(s.dup_frac, 6) AS span_dup_frac,
+       (NOT v.in_dup_group AND ROUND(s.dup_frac, 6) >= {VERDICT_SPAN_MAX}) AS high_span_dup,
+       (v.pass_gopher AND NOT v.is_exact_dup
+        AND NOT (NOT v.in_dup_group AND ROUND(s.dup_frac, 6) >= {VERDICT_SPAN_MAX})) AS keep
+FROM dup v JOIN span s USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_duplicates,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -569,6 +649,7 @@ QUERIES = {
     "dedup_components": duplicate_components,
     "dedup_span_fraction": span_dup_fraction,
     "dedup_incremental": incremental_dedup,
+    "curation_verdict": curation_verdict,
 }
 
 ORACLES = {
@@ -580,4 +661,5 @@ ORACLES = {
     "dedup_components": ORACLE_COMPONENTS,
     "dedup_span_fraction": ORACLE_SPAN_FRACTION,
     "dedup_incremental": ORACLE_INCREMENTAL,
+    "curation_verdict": ORACLE_VERDICT,
 }

@@ -93,3 +93,21 @@ def test_incremental_dedup_flags_exact_twins_only(spark, sf_small):
     for r in rows:
         assert r.dup_of < 100000
         assert texts[r.dup_of] == texts[r.new_id]
+
+
+def test_curation_verdict_consistency(spark, sf_small):
+    """keep must equal the conjunction of the emitted reasons; planted
+    exact twins are always demoted (never their canonical), and docs in
+    an exact-dup group are never span-dropped."""
+    from nmalign_spark.operators.dedup import curation_verdict
+
+    rows = {r.doc_id: r for r in curation_verdict(spark, sf_small).collect()}
+    assert rows
+    for did, r in rows.items():
+        assert bool(r.keep) == (bool(r.pass_gopher)
+                                and not r.is_exact_dup
+                                and not r.high_span_dup), r
+        if did >= 200000:
+            assert r.is_exact_dup and not r.keep
+            assert not rows[did - 200000].is_exact_dup
+            assert not r.high_span_dup  # dup-group docs use the dup rule
