@@ -119,6 +119,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["text_gopher_rules"] = lambda: textstats.gopher_rules(spark, sf_dir)
         queries["corpus_top_ngrams"] = lambda: textstats.corpus_top_ngrams(spark, sf_dir)
         queries["emb_label_cohesion"] = lambda: similarity.label_cohesion(spark, sf_dir)
+        queries["curation_verdict"] = lambda: dedup.curation_verdict(spark, sf_dir)
     except ImportError:
         pass
 
