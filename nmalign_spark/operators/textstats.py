@@ -558,22 +558,23 @@ def token_budget_sample(spark, sf_dir):
 
     Scale shape — a distributed two-phase prefix sum instead of one
     global per-language window sort: (1) per (lang, hash-bucket) token
-    sums — a tiny map-side-combined agg (|langs|·16 rows); (2) exclusive
+    sums — a tiny map-side-combined agg (|langs|·256 rows); (2) exclusive
     bucket offsets by a window over that tiny table; (3) offsets
     broadcast back, and the running total needs only an intra-bucket
-    cumulative window partitioned by (lang, bucket) — 16× more partitions
-    than the naive per-lang global sort, and each partition sorts 1/16th
-    of a language.  Because the bucket is the first hex digit of the md5
-    ordering key, bucket-major + intra-bucket order IS the global hash
-    order, so the result is identical to the oracle's single global
-    cumulative window."""
+    cumulative window partitioned by (lang, bucket) — 256× more
+    partitions than the naive per-lang global sort, each sorting 1/256th
+    of a language (widen the hex prefix for more).  Because the bucket
+    is the first-two-hex-chars prefix of the md5 ordering key,
+    bucket-major + intra-bucket order IS the global hash order, so the
+    result is identical to the oracle's single global cumulative
+    window."""
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     h = F.md5(F.col("doc_id").cast("string"))
     base = d.select("doc_id", "lang", n_tok.alias("n_tok"), h.alias("h"),
-                    F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+                    F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
                     .alias("bkt"))
     per_bkt = base.groupBy("lang", "bkt").agg(F.sum("n_tok").alias("s"))
     w_off = (Window.partitionBy("lang").orderBy("bkt")
