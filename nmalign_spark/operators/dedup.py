@@ -113,16 +113,27 @@ shingles AS (
 def _shingle_groups(aug):
     """(shingle, sorted ids array) with the stop-shingle cap applied.
 
-    ONE shuffle (groupBy shingle) replaces the old window-count shuffle AND
-    the later self-equi-join shuffle: document-frequency is ``size(ids)``,
-    and near-dup candidate pairs are generated *inside* each group row with
-    array ops (≤ C(cap,2) = 1225 pairs per shingle, bounded).  This is the
-    shape that survives 100 TB — the exploded shingle table is shuffled
-    exactly once and never self-joined."""
+    Two passes over the exploded shingle table so that NO aggregation ever
+    holds unbounded per-key state: document frequency first, as a map-side-
+    combinable ``groupBy(shingle).count`` (partial state = one long per
+    shingle per task, regardless of skew); then the exploded table is
+    LEFT-SEMI-joined against the ``df <= cap`` survivors — a keyed equi-join,
+    so a hot boilerplate shingle is the AQE skew-join case, split at
+    runtime — and only the provably ≤cap-element groups are collected into
+    posting arrays.  The previous single-pass shape (collect_list THEN
+    filter on size) was green at sf0.1 but a crawl-scale stop shingle
+    ("click here to read more…", df ~10^8) would accumulate a 10^8-element
+    list in one task before the cap could discard it.  Near-dup candidate
+    pairs are still generated *inside* each group row with array ops
+    (≤ C(cap,2) = 1225 pairs per shingle, bounded), never via a self-join of
+    the exploded table."""
     sh = _shingles(aug)
-    return (sh.groupBy("shingle")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-            .where(F.size("ids") <= STOP_SHINGLE_MAX))
+    keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= STOP_SHINGLE_MAX)
+            .select("shingle"))
+    return (sh.join(keep, "shingle", "left_semi")
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids")))
 
 
 def _filtered_shingles(groups):

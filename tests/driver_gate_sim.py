@@ -34,7 +34,7 @@ def canon(df: pd.DataFrame) -> tuple[int, str, str]:
     return len(df), ",".join(sorted(df.columns)), h
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
@@ -48,6 +48,8 @@ def main(sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
     qs, os_ = entry.queries(), entry.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     bad = 0
     for name, fn in sorted(qs.items()):
         try:
@@ -78,4 +80,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else
-                  "/root/testdata/sf0.01"))
+                  "/root/testdata/sf0.01", sys.argv[2:] or None))
