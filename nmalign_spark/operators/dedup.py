@@ -465,8 +465,10 @@ def duplicate_components(spark, sf_dir, max_iters: int = CC_MAX_ITERS):
                          F.col("label").alias("component_id"))
 
 
-ORACLE_COMPONENTS = f"""
-WITH RECURSIVE {AUG_SQL.strip().lstrip()}, {FILTERED_SQL.strip()},
+# Shared by ORACLE_COMPONENTS and the stacked ORACLE_VERDICT: the recursive
+# transitive closure of the exact/near-dup edge graph (expects `aug` and
+# `filtered` CTEs in scope; caller's WITH must be RECURSIVE).
+_COMPONENT_CTES = f"""
 counts AS (SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
@@ -486,8 +488,14 @@ reach(id, label) AS (
   SELECT doc_id, doc_id FROM aug
   UNION
   SELECT s.id2, r.label FROM reach r JOIN sym s ON s.id1 = r.id
-)
-SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id)
+""".strip()
+
+ORACLE_COMPONENTS = f"""
+WITH RECURSIVE {AUG_SQL.strip().lstrip()}, {FILTERED_SQL.strip()},
+{_COMPONENT_CTES}
+SELECT doc_id, component_id FROM comp
 """
 
 
@@ -578,19 +586,28 @@ VERDICT_SPAN_MAX = 0.8   # drop non-dup-group docs above this dup-span frac
 
 def curation_verdict(spark, sf_dir):
     """The curation-pipeline endpoint: one row per document with the
-    stacked keep/drop decision and its reasons — Gopher quality gate
-    (operators/textstats.gopher_metrics), exact-duplicate demotion
-    (keep the min-id canonical, drop the copies), and the duplicated-span
-    drop for boilerplate-heavy docs that have no exact twin.  This is the
-    query a user actually runs to materialize a training split.
+    stacked keep/drop decision and per-rule reason columns — Gopher
+    quality gate (operators/textstats.gopher_metrics, full rule set),
+    exact-duplicate demotion (keep the min-id canonical), near-duplicate
+    COMPONENT demotion (every non-representative member of a connected
+    exact/near-dup cluster, :func:`duplicate_components` — transitive
+    closure, so A~B~C chains drop B and C even when A!~C), the
+    duplicated-span drop for boilerplate-heavy docs with no whole-doc
+    twin, and benchmark decontamination (shares any word-8-gram with the
+    stand-in benchmark set, same construction as
+    textstats.decontaminate_flags).  This is the query a user actually
+    runs to materialize a training split.
 
     Scale shape: the gopher flags are scan-side expressions (no shuffle);
     the exact-dup window is one shuffle on md5; the span fraction reuses
-    the shingle-DF join (see span_dup_fraction); the final assembly joins
-    on doc_id — co-keyed, AQE-planned.  Reasons are emitted as columns
-    (not a packed bitmap) so the drop-rate per rule is one aggregation
-    away."""
-    from .textstats import gopher_metrics
+    the shingle-DF join (see span_dup_fraction); components reuse the
+    df-capped posting lists (_shingle_groups) + O(log diameter) label
+    rounds; the benchmark gram set is eval-suite-sized, so it broadcasts
+    and the corpus side never shuffles its grams; the final assembly
+    joins on doc_id — co-keyed, AQE-planned.  Reasons stay one column per
+    rule (not a packed bitmap) so the drop-rate per rule is one
+    aggregation away."""
+    from .textstats import DECON_BENCH_MOD, DECON_N, gopher_metrics
 
     aug = augmented_docs(spark, sf_dir)
     base = aug.select("doc_id", "text",
@@ -601,22 +618,48 @@ def curation_verdict(spark, sf_dir):
         (F.count(F.lit(1)).over(w) > 1).alias("in_dup_group"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_exact_dup"))
     span = span_dup_fraction(spark, sf_dir).select("doc_id", "dup_frac")
-    v = flagged.join(span, "doc_id")
+    comp = duplicate_components(spark, sf_dir).select(
+        "doc_id",
+        (F.col("component_id") != F.col("doc_id")).alias("is_near_dup"))
+    grams = F.transform(sliding_ngrams(F.split("text", " "), DECON_N),
+                        lambda g: F.md5(g))
+    exploded = aug.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("h"))
+    is_bench = ((F.col("doc_id") % DECON_BENCH_MOD == 0)
+                & (F.col("doc_id") < 100000))
+    bench = exploded.where(is_bench).select("h").distinct()
+    contam = (exploded.where(~is_bench)
+              .join(F.broadcast(bench), "h", "left_semi")
+              .select("doc_id").distinct()
+              .withColumn("is_contaminated", F.lit(True)))
+    v = (flagged.join(span, "doc_id").join(comp, "doc_id")
+         .join(contam, "doc_id", "left")
+         .na.fill({"is_contaminated": False}))
     high_span = (~F.col("in_dup_group")) & (F.col("dup_frac") >= VERDICT_SPAN_MAX)
     return v.select(
-        "doc_id", "pass_gopher", "is_exact_dup",
+        "doc_id", "pass_gopher", "is_exact_dup", "is_near_dup",
         F.col("dup_frac").alias("span_dup_frac"),
         high_span.alias("high_span_dup"),
-        (F.col("pass_gopher") & ~F.col("is_exact_dup") & ~high_span)
-        .alias("keep"))
+        "is_contaminated",
+        (F.col("pass_gopher") & ~F.col("is_near_dup") & ~high_span
+         & ~F.col("is_contaminated")).alias("keep"))
 
 
-_VG = ("(n_words >= 50 AND n_words <= 100000 AND mean_wl >= 3.0 "
-       "AND mean_wl <= 10.0 AND frac_alpha >= 0.8 AND n_stopwords >= 2)")
-
-ORACLE_VERDICT = f"""
-WITH {AUG_SQL},
-{SHINGLES_SQL.strip()},
+def _oracle_verdict() -> str:
+    """Stacked-verdict oracle: components via the shared recursive CTE,
+    gopher via the shared textstats SQL expressions, decontamination via
+    the same gram construction as ORACLE_DECON — one SQL twin per rule."""
+    from .textstats import (DECON_BENCH_MOD, DECON_N, gopher_cond_sql,
+                            gopher_sql_exprs)
+    e = gopher_sql_exprs()
+    cond = gopher_cond_sql(
+        n_words=e["n_words"], mean_wl=e["mean_wl"],
+        frac_alpha=e["frac_alpha"], n_stopwords=e["n_stopwords"],
+        frac_symbol=e["frac_symbol"], frac_ell=e["frac_ell_lines"],
+        frac_bullet=e["frac_bullet_lines"])
+    return f"""
+WITH RECURSIVE {AUG_SQL.strip().lstrip()}, {FILTERED_SQL.strip()},
+{_COMPONENT_CTES},
 dfs AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
 span AS (
   SELECT s.doc_id,
@@ -626,29 +669,40 @@ toksb AS (
   SELECT doc_id, text,
          list_filter(string_split(text, ' '), x -> x != '') AS l
   FROM aug),
-gop AS (
-  SELECT doc_id, text,
-         {_VG.replace('n_words', 'len(l)')
-             .replace('mean_wl',
-                      'CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / GREATEST(len(l), 1)')
-             .replace('frac_alpha',
-                      "len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / GREATEST(len(l), 1)")
-             .replace('n_stopwords',
-                      "len(list_filter(l, x -> lower(x) IN ('the','and','of','is','a')))")}
-         AS pass_gopher
-  FROM toksb),
+gop AS (SELECT doc_id, text, {cond} AS pass_gopher FROM toksb),
 dup AS (
   SELECT doc_id, pass_gopher,
          COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS in_dup_group,
          doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
-  FROM gop)
+  FROM gop),
+dgrams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(string_split(text, ' '), i, i + {{DN1}}), ' ')) AS h
+  FROM aug,
+       UNNEST(range(1, GREATEST(len(string_split(text, ' ')) - {{DN1}}, 1) + 1)) AS r(i)),
+bench AS (
+  SELECT DISTINCT h FROM dgrams
+  WHERE doc_id % {{DBM}} = 0 AND doc_id < 100000),
+contam AS (
+  SELECT DISTINCT doc_id FROM dgrams
+  WHERE NOT (doc_id % {{DBM}} = 0 AND doc_id < 100000)
+    AND h IN (SELECT h FROM bench))
 SELECT v.doc_id, v.pass_gopher, v.is_exact_dup,
+       (c.component_id != v.doc_id) AS is_near_dup,
        ROUND(s.dup_frac, 6) AS span_dup_frac,
        (NOT v.in_dup_group AND ROUND(s.dup_frac, 6) >= {VERDICT_SPAN_MAX}) AS high_span_dup,
-       (v.pass_gopher AND NOT v.is_exact_dup
-        AND NOT (NOT v.in_dup_group AND ROUND(s.dup_frac, 6) >= {VERDICT_SPAN_MAX})) AS keep
-FROM dup v JOIN span s USING (doc_id)
-"""
+       (ct.doc_id IS NOT NULL) AS is_contaminated,
+       (v.pass_gopher AND c.component_id = v.doc_id
+        AND NOT (NOT v.in_dup_group AND ROUND(s.dup_frac, 6) >= {VERDICT_SPAN_MAX})
+        AND ct.doc_id IS NULL) AS keep
+FROM dup v
+JOIN span s USING (doc_id)
+JOIN comp c USING (doc_id)
+LEFT JOIN contam ct USING (doc_id)
+""".replace("{DN1}", str(DECON_N - 1)).replace("{DBM}", str(DECON_BENCH_MOD))
+
+
+ORACLE_VERDICT = _oracle_verdict()
 
 
 QUERIES = {

@@ -289,12 +289,25 @@ GOPHER_WLEN_LO = 3.0
 GOPHER_WLEN_HI = 10.0
 GOPHER_ALPHA_MIN = 0.8
 GOPHER_STOP_MIN = 2
+# The documented Gopher stopword rule (Rae et al. 2021, public): at least 2
+# of these 8 English function words.  Distinct from the langid/quality
+# `_STOP` lists, which stay as-is (their oracles share them already).
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_SYMBOL_MAX = 0.1        # '#'/ellipsis occurrences per word
+GOPHER_ELLIPSIS_LINE_MAX = 0.3  # share of lines ending with an ellipsis
+GOPHER_BULLET_LINE_MAX = 0.9    # share of lines starting with a bullet
+# Java-regex ∩ RE2 subset (no lookaround): '#', literal '...', or U+2026
+RE_GOPHER_SYMBOL = "#|\\.\\.\\.|…"
 
 
 def gopher_metrics(text_col="text"):
     """The Gopher rule expressions over a ``text`` column — shared by the
-    batch query, the per-language gate, and the streaming at-ingest twin
-    (streaming/extract.py) so all three filter identically."""
+    batch query, the per-language gate, the curation verdict, and the
+    streaming at-ingest twin (streaming/extract.py) so all four filter
+    identically.  Rules: word-count bounds, mean word length in [3,10],
+    ≥80% words with an alphabetic char, ≥2 of the 8 documented stopwords,
+    symbol-to-word ratio ≤0.1 ('#'/ellipsis), ≤30% of lines ending with an
+    ellipsis, ≤90% of lines starting with a bullet."""
     toks = F.filter(F.split(text_col, " "), lambda x: x != "")
     n = F.size(toks)
     sum_len = F.aggregate(F.transform(toks, lambda x: F.length(x)),
@@ -302,57 +315,171 @@ def gopher_metrics(text_col="text"):
     mean_wl = sum_len / F.greatest(n, F.lit(1))
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
     frac_alpha = n_alpha / F.greatest(n, F.lit(1))
-    stop = _STOP["en"]
-    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(stop)))
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(GOPHER_STOP)))
+    n_symbol = F.size(F.regexp_extract_all(text_col,
+                                           F.lit(RE_GOPHER_SYMBOL), F.lit(0)))
+    frac_symbol = n_symbol / F.greatest(n, F.lit(1))
+    lines = F.split(text_col, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    frac_ell_lines = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…"))) / n_lines
+    frac_bullet_lines = F.size(F.filter(
+        lines, lambda x: x.startswith("-") | x.startswith("•")
+        | x.startswith("*"))) / n_lines
     passed = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
               & (mean_wl >= GOPHER_WLEN_LO) & (mean_wl <= GOPHER_WLEN_HI)
-              & (frac_alpha >= GOPHER_ALPHA_MIN) & (n_stop >= GOPHER_STOP_MIN))
+              & (frac_alpha >= GOPHER_ALPHA_MIN) & (n_stop >= GOPHER_STOP_MIN)
+              & (frac_symbol <= GOPHER_SYMBOL_MAX)
+              & (frac_ell_lines <= GOPHER_ELLIPSIS_LINE_MAX)
+              & (frac_bullet_lines <= GOPHER_BULLET_LINE_MAX))
     return {"n_words": n, "mean_word_len": mean_wl,
             "frac_alpha_words": frac_alpha, "n_stopwords": n_stop,
+            "frac_symbol_words": frac_symbol,
+            "frac_ellipsis_lines": frac_ell_lines,
+            "frac_bullet_lines": frac_bullet_lines,
             "pass_gopher": passed}
+
+
+_GOPHER_STOP_SQL = "('" + "','".join(GOPHER_STOP) + "')"
+
+
+def gopher_sql_exprs(l="l", text="text"):
+    """DuckDB expressions mirroring :func:`gopher_metrics`, over a token
+    list column ``l`` (= non-empty whitespace tokens) and the raw ``text``
+    column — the single source for every oracle embedding the gate."""
+    lines = f"string_split({text}, chr(10))"
+    return {
+        "n_words": f"len({l})",
+        "mean_wl": (f"CAST(list_sum(list_transform({l}, x -> length(x))) "
+                    f"AS DOUBLE) / GREATEST(len({l}), 1)"),
+        "frac_alpha": (f"len(list_filter({l}, x -> regexp_matches(x, "
+                       f"'[A-Za-z]'))) * 1.0 / GREATEST(len({l}), 1)"),
+        "n_stopwords": (f"len(list_filter({l}, x -> lower(x) IN "
+                        f"{_GOPHER_STOP_SQL}))"),
+        "frac_symbol": (f"len(regexp_extract_all({text}, "
+                        f"'{RE_GOPHER_SYMBOL}')) * 1.0 / "
+                        f"GREATEST(len({l}), 1)"),
+        "frac_ell_lines": (f"len(list_filter({lines}, x -> "
+                           f"ends_with(x, '...') OR ends_with(x, '…'))) "
+                           f"* 1.0 / GREATEST(len({lines}), 1)"),
+        "frac_bullet_lines": (f"len(list_filter({lines}, x -> "
+                              f"starts_with(x, '-') OR starts_with(x, '•') "
+                              f"OR starts_with(x, '*'))) "
+                              f"* 1.0 / GREATEST(len({lines}), 1)"),
+    }
+
+
+def gopher_cond_sql(n_words="n_words", mean_wl="mean_wl",
+                    frac_alpha="frac_alpha", n_stopwords="n_stopwords",
+                    frac_symbol="frac_symbol", frac_ell="frac_ell_lines",
+                    frac_bullet="frac_bullet_lines"):
+    """The combined pass condition over already-computed metric columns."""
+    return (f"({n_words} >= {GOPHER_MIN_WORDS} "
+            f"AND {n_words} <= {GOPHER_MAX_WORDS} "
+            f"AND {mean_wl} >= {GOPHER_WLEN_LO} "
+            f"AND {mean_wl} <= {GOPHER_WLEN_HI} "
+            f"AND {frac_alpha} >= {GOPHER_ALPHA_MIN} "
+            f"AND {n_stopwords} >= {GOPHER_STOP_MIN} "
+            f"AND {frac_symbol} <= {GOPHER_SYMBOL_MAX} "
+            f"AND {frac_ell} <= {GOPHER_ELLIPSIS_LINE_MAX} "
+            f"AND {frac_bullet} <= {GOPHER_BULLET_LINE_MAX})")
 
 
 def gopher_rules(spark, sf_dir):
     """Full Gopher-style document-quality ruleset: word count bounds, mean
     word length in [3,10], >=80% words containing an alphabetic character,
-    >=2 stopwords — plus the combined pass flag.  The standard pre-filter
-    tier of an LLM data pipeline (applied before any expensive dedup).
+    >=2 of the documented stopwords, symbol-to-word ratio <= 0.1,
+    <=30% ellipsis-terminated lines, <=90% bullet-started lines — plus the
+    combined pass flag.  The standard pre-filter tier of an LLM data
+    pipeline (applied before any expensive dedup).
+
+    The synthetic corpus contains no '#'/ellipsis/bullet text, so
+    deterministic rule-violating twins are planted (identically in the
+    oracle, same pattern as the planted-PII scan): every ``%41==5`` doc
+    gets a '#'-flooded +400000 twin, every ``%43==7`` an
+    ellipsis-per-line +500000 twin, every ``%47==11`` a bulleted +600000
+    twin — those must fail exactly their rule.
 
     Scale shape: pure Catalyst higher-order functions over the scan — no
     shuffle, no UDF; whole-stage codegen end to end, so at 100 TB this is
     scan-bound."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    sym = (d.where(F.col("doc_id") % 41 == 5)
+           .select((F.col("doc_id") + 400000).alias("doc_id"),
+                   F.concat("text", F.expr("repeat(' #', size(filter("
+                            "split(text, ' '), x -> x != '')))"))
+                   .alias("text")))
+    ell = (d.where(F.col("doc_id") % 43 == 7)
+           .select((F.col("doc_id") + 500000).alias("doc_id"),
+                   F.replace(F.col("text"), F.lit(" "), F.lit("...\n"))
+                   .alias("text")))
+    bul = (d.where(F.col("doc_id") % 47 == 11)
+           .select((F.col("doc_id") + 600000).alias("doc_id"),
+                   F.concat(F.lit("- "),
+                            F.replace(F.col("text"), F.lit(" "),
+                                      F.lit("\n- "))).alias("text")))
+    d = d.unionByName(sym).unionByName(ell).unionByName(bul)
     m = gopher_metrics()
     return d.select("doc_id",
                     m["n_words"].alias("n_words"),
                     F.round(m["mean_word_len"], 6).alias("mean_word_len"),
                     F.round(m["frac_alpha_words"], 6).alias("frac_alpha_words"),
                     m["n_stopwords"].alias("n_stopwords"),
+                    F.round(m["frac_symbol_words"], 6)
+                    .alias("frac_symbol_words"),
+                    F.round(m["frac_ellipsis_lines"], 6)
+                    .alias("frac_ellipsis_lines"),
+                    F.round(m["frac_bullet_lines"], 6)
+                    .alias("frac_bullet_lines"),
                     m["pass_gopher"].alias("pass_gopher"))
 
 
+_GE = gopher_sql_exprs()
+
+GOPHER_PLANTED_SQL = """
+gdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id,
+         text || repeat(' #', len(list_filter(string_split(text, ' '),
+                                              x -> x != ''))) AS text
+  FROM documents WHERE doc_id % 41 = 5
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id,
+         replace(text, ' ', '...' || chr(10)) AS text
+  FROM documents WHERE doc_id % 43 = 7
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id,
+         '- ' || replace(text, ' ', chr(10) || '- ') AS text
+  FROM documents WHERE doc_id % 47 = 11
+)
+"""
+
 ORACLE_GOPHER = f"""
-WITH base AS (
-  SELECT doc_id,
+WITH {GOPHER_PLANTED_SQL.strip()},
+base AS (
+  SELECT doc_id, text,
          list_filter(string_split(text, ' '), x -> x != '') AS l
-  FROM documents),
+  FROM gdocs),
 m AS (
   SELECT doc_id,
-         len(l) AS n_words,
-         CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
-             / GREATEST(len(l), 1) AS mean_wl,
-         len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
-             / GREATEST(len(l), 1) AS frac_alpha,
-         len(list_filter(l, x -> lower(x) IN {_STOP_SQL})) AS n_stopwords
+         {_GE['n_words']} AS n_words,
+         {_GE['mean_wl']} AS mean_wl,
+         {_GE['frac_alpha']} AS frac_alpha,
+         {_GE['n_stopwords']} AS n_stopwords,
+         {_GE['frac_symbol']} AS frac_symbol,
+         {_GE['frac_ell_lines']} AS frac_ell_lines,
+         {_GE['frac_bullet_lines']} AS frac_bullet_lines
   FROM base)
 SELECT doc_id, n_words,
        ROUND(mean_wl, 6) AS mean_word_len,
        ROUND(frac_alpha, 6) AS frac_alpha_words,
        n_stopwords,
-       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
-        AND mean_wl >= {GOPHER_WLEN_LO} AND mean_wl <= {GOPHER_WLEN_HI}
-        AND frac_alpha >= {GOPHER_ALPHA_MIN}
-        AND n_stopwords >= {GOPHER_STOP_MIN}) AS pass_gopher
+       ROUND(frac_symbol, 6) AS frac_symbol_words,
+       ROUND(frac_ell_lines, 6) AS frac_ellipsis_lines,
+       ROUND(frac_bullet_lines, 6) AS frac_bullet_lines,
+       {gopher_cond_sql()} AS pass_gopher
 FROM m
 """
 
@@ -369,23 +496,22 @@ def quality_gate_counts(spark, sf_dir):
                  F.sum((~F.col("p")).cast("long")).alias("n_fail")))
 
 
-_GOPHER_COND = (f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} "
-                f"AND mean_wl >= {GOPHER_WLEN_LO} AND mean_wl <= {GOPHER_WLEN_HI} "
-                f"AND frac_alpha >= {GOPHER_ALPHA_MIN} "
-                f"AND n_stopwords >= {GOPHER_STOP_MIN})")
+_GOPHER_COND = gopher_cond_sql()
 
 ORACLE_QUALITY_GATE = f"""
 WITH base AS (
-  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS l
+  SELECT lang, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS l
   FROM documents),
 m AS (
   SELECT lang,
-         len(l) AS n_words,
-         CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
-             / GREATEST(len(l), 1) AS mean_wl,
-         len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
-             / GREATEST(len(l), 1) AS frac_alpha,
-         len(list_filter(l, x -> lower(x) IN {_STOP_SQL})) AS n_stopwords
+         {_GE['n_words']} AS n_words,
+         {_GE['mean_wl']} AS mean_wl,
+         {_GE['frac_alpha']} AS frac_alpha,
+         {_GE['n_stopwords']} AS n_stopwords,
+         {_GE['frac_symbol']} AS frac_symbol,
+         {_GE['frac_ell_lines']} AS frac_ell_lines,
+         {_GE['frac_bullet_lines']} AS frac_bullet_lines
   FROM base)
 SELECT lang,
        CAST(SUM(CASE WHEN {_GOPHER_COND} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,

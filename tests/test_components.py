@@ -97,17 +97,31 @@ def test_incremental_dedup_flags_exact_twins_only(spark, sf_small):
 
 def test_curation_verdict_consistency(spark, sf_small):
     """keep must equal the conjunction of the emitted reasons; planted
-    exact twins are always demoted (never their canonical), and docs in
-    an exact-dup group are never span-dropped."""
+    exact twins are always demoted (never their canonical), docs in an
+    exact-dup group are never span-dropped, exact-dup implies
+    near-dup-component membership, and benchmark docs are never flagged
+    contaminated."""
     from nmalign_spark.operators.dedup import curation_verdict
+    from nmalign_spark.operators.textstats import DECON_BENCH_MOD
 
     rows = {r.doc_id: r for r in curation_verdict(spark, sf_small).collect()}
     assert rows
     for did, r in rows.items():
         assert bool(r.keep) == (bool(r.pass_gopher)
-                                and not r.is_exact_dup
-                                and not r.high_span_dup), r
+                                and not r.is_near_dup
+                                and not r.high_span_dup
+                                and not r.is_contaminated), r
+        if r.is_exact_dup:  # exact edge is in the component graph
+            assert r.is_near_dup
         if did >= 200000:
             assert r.is_exact_dup and not r.keep
             assert not rows[did - 200000].is_exact_dup
             assert not r.high_span_dup  # dup-group docs use the dup rule
+        if did % DECON_BENCH_MOD == 0 and did < 100000:
+            assert not r.is_contaminated  # the benchmark itself
+    # exact twins of benchmark docs share every 8-gram -> contaminated
+    planted_contam = [did for did, r in rows.items()
+                      if did >= 200000
+                      and (did - 200000) % DECON_BENCH_MOD == 0]
+    assert planted_contam
+    assert all(rows[d].is_contaminated for d in planted_contam)

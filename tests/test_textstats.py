@@ -61,11 +61,15 @@ def test_pii_counts_flags_exactly_planted(spark, sf_small):
 
 
 def test_gopher_rules_flag_consistent_with_metrics(spark, sf_small):
-    """pass_gopher must equal the conjunction of the emitted metrics."""
+    """pass_gopher must equal the conjunction of the emitted metrics, and
+    each planted rule-violating twin must fail exactly its rule."""
     from nmalign_spark.operators.textstats import (GOPHER_ALPHA_MIN,
+                                                   GOPHER_BULLET_LINE_MAX,
+                                                   GOPHER_ELLIPSIS_LINE_MAX,
                                                    GOPHER_MAX_WORDS,
                                                    GOPHER_MIN_WORDS,
                                                    GOPHER_STOP_MIN,
+                                                   GOPHER_SYMBOL_MAX,
                                                    GOPHER_WLEN_HI,
                                                    GOPHER_WLEN_LO,
                                                    gopher_rules)
@@ -75,9 +79,25 @@ def test_gopher_rules_flag_consistent_with_metrics(spark, sf_small):
         expect = (GOPHER_MIN_WORDS <= r.n_words <= GOPHER_MAX_WORDS
                   and GOPHER_WLEN_LO <= r.mean_word_len <= GOPHER_WLEN_HI
                   and r.frac_alpha_words >= GOPHER_ALPHA_MIN
-                  and r.n_stopwords >= GOPHER_STOP_MIN)
+                  and r.n_stopwords >= GOPHER_STOP_MIN
+                  and r.frac_symbol_words <= GOPHER_SYMBOL_MAX
+                  and r.frac_ellipsis_lines <= GOPHER_ELLIPSIS_LINE_MAX
+                  and r.frac_bullet_lines <= GOPHER_BULLET_LINE_MAX)
         assert bool(r.pass_gopher) == expect, r
         assert 0.0 <= r.frac_alpha_words <= 1.0
+        if 400000 <= r.doc_id < 500000:
+            assert r.frac_symbol_words > GOPHER_SYMBOL_MAX and not r.pass_gopher
+        elif 500000 <= r.doc_id < 600000:
+            assert (r.frac_ellipsis_lines > GOPHER_ELLIPSIS_LINE_MAX
+                    and not r.pass_gopher)
+        elif 600000 <= r.doc_id:
+            assert (r.frac_bullet_lines > GOPHER_BULLET_LINE_MAX
+                    and not r.pass_gopher)
+        else:
+            # base corpus has no symbols/newlines: new rules are vacuous there
+            assert r.frac_symbol_words == 0.0
+            assert r.frac_ellipsis_lines == 0.0
+            assert r.frac_bullet_lines == 0.0
 
 
 def test_corpus_top_ngrams_ordering(spark, sf_small):
