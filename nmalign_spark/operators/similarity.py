@@ -112,16 +112,19 @@ def _sign_buckets(spark, emb):
                  .alias("bucket")))
 
 
+PROBE_HAMMING = 2  # probe all buckets within this Hamming radius
+
+
 def lsh_bucketed_topk(spark, sf_dir):
     """Random-hyperplane LSH with MULTI-PROBE, then exact top-3 within the
     probed buckets.
 
-    Each query probes its own sign bucket plus every bucket at Hamming
-    distance 1 (one flipped plane bit) — ``N_PLANES + 1`` probes out of
-    ``2^N_PLANES`` buckets, so the scanned fraction stays ~(P+1)/2^P of the
-    corpus while recall on genuinely-near vectors rises from the
-    single-bucket ~(1-θ/π)^P to the Hamming-≤1 mass (measured on the
-    planted pairs: :func:`lsh_planted_recall`, QUALITY.md).  The probe
+    Each query probes every bucket within Hamming distance
+    ``PROBE_HAMMING`` of its own sign bucket — 1 + 8 + C(8,2) = 37 probes
+    out of ``2^N_PLANES`` = 256 buckets, so the scanned fraction stays
+    ~14.5% of the corpus while recall on genuinely-near vectors rises from
+    the Hamming-≤1 mass (measured 0.84 on the planted pairs in r3) to the
+    Hamming-≤2 mass (:func:`lsh_planted_recall`, QUALITY.md).  The probe
     fan-out is an equi-join on the probed key — no cross product, AQE can
     split hot buckets."""
     emb = _emb(spark, sf_dir)
@@ -131,13 +134,12 @@ def lsh_bucketed_topk(spark, sf_dir):
     c = eb.where(F.col("vec_id") >= N_QUERIES) \
         .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
                 F.col("bucket").alias("cbucket"))
-    # probe set: flip=0 keeps the own bucket, flip=k flips plane bit k-1;
-    # probe values are pairwise distinct, so no (qid, nid) pair duplicates
-    probes = (q.crossJoin(spark.range(N_PLANES + 1)
-                          .select(F.col("id").alias("flip")))
-              .withColumn("probe", F.expr(
-                  "CASE WHEN flip = 0 THEN bucket "
-                  "ELSE bucket ^ cast(pow(2.0, flip - 1) as bigint) END")))
+    # probe set: XOR with every mask of popcount <= PROBE_HAMMING; masks
+    # are pairwise distinct, so no (qid, nid) pair duplicates
+    masks = (spark.range(1 << N_PLANES).select(F.col("id").alias("mask"))
+             .where(F.expr(f"bit_count(id) <= {PROBE_HAMMING}")))
+    probes = (q.crossJoin(F.broadcast(masks))
+              .withColumn("probe", F.expr("bucket ^ mask")))
     scored = (probes.join(c, probes.probe == c.cbucket)
               .select("qid", "nid",
                       F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cos")))
@@ -166,11 +168,11 @@ bucket AS (
 eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embd e JOIN bucket b ON e.vec_id = b.vec_id),
 q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM eb WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS nid, embedding AS nv, bucket AS cbucket FROM eb WHERE vec_id >= {N_QUERIES}),
+masks AS (
+  SELECT m AS mask FROM UNNEST(range(0, {1 << N_PLANES})) AS mm(m)
+  WHERE bit_count(m) <= {PROBE_HAMMING}),
 probes AS (
-  SELECT qid, qv,
-         CASE WHEN flip = 0 THEN bucket
-              ELSE xor(bucket, CAST(POW(2.0, flip - 1) AS BIGINT)) END AS probe
-  FROM q, UNNEST(range(0, {N_PLANES + 1})) AS ff(flip)),
+  SELECT qid, qv, xor(bucket, mask) AS probe FROM q, masks),
 scored AS (
   SELECT qid, nid,
          ROUND(list_dot_product(qv, nv) /
@@ -603,17 +605,19 @@ def ivf_planted_recall(spark, sf_dir) -> dict:
 def lsh_planted_recall(spark, sf_dir) -> float:
     """Would multi-probe LSH RETRIEVE a genuine near-duplicate?  For every
     planted pair (v, v+100000) of :func:`_aug_emb` (cosines ~0.87-0.993):
-    hit when the two sign buckets are within Hamming distance 1 — exactly
-    the probe radius of :func:`lsh_bucketed_topk`, so this is the retrieval
-    probability of the production path on genuinely-near vectors (top-k
-    recall over near-orthogonal random vectors is structurally ~0 and
-    measures nothing).  Driver-side over the tiny (vec_id, bucket) set."""
+    hit when the two sign buckets are within Hamming distance
+    ``PROBE_HAMMING`` — exactly the probe radius of
+    :func:`lsh_bucketed_topk`, so this is the retrieval probability of the
+    production path on genuinely-near vectors (top-k recall over
+    near-orthogonal random vectors is structurally ~0 and measures
+    nothing).  Driver-side over the tiny (vec_id, bucket) set."""
     emb = _aug_emb(spark, sf_dir)
     buckets = {r.vec_id: int(r.bucket)
                for r in _sign_buckets(spark, emb).collect()}
     planted = [v for v in buckets if v >= 100000]
     hits = sum(1 for v in planted
-               if bin(buckets[v] ^ buckets[v - 100000]).count("1") <= 1)
+               if bin(buckets[v] ^ buckets[v - 100000]).count("1")
+               <= PROBE_HAMMING)
     return hits / len(planted) if planted else 1.0
 
 
