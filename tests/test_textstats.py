@@ -26,15 +26,25 @@ def test_decontaminate_flags_planted_twins(spark, sf_small):
 
 
 def test_url_canonicalization_collapses_variants(spark, sf_small):
-    """Every document's 3-4 messy URL spellings (case, www, default port,
-    utm params, fragment, trailing slash) collapse to exactly ONE
-    canonical key; nothing merges across documents."""
+    """Every document's messy URL spellings (case, www, authority default
+    port, utm params, fragment, trailing slash) collapse to exactly ONE
+    bare canonical key; docs with the order-swapped surviving param get
+    exactly one extra 2-variant ``?ref=a`` key; nothing merges across
+    documents."""
     from nmalign_spark.operators.urls import messy_urls, url_dedup_groups
 
     n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    n_param_docs = spark.read.parquet(f"{sf_small}/documents.parquet") \
+        .where("doc_id % 4 = 1").count()
     groups = url_dedup_groups(spark, sf_small).collect()
-    assert len(groups) == n_docs
-    assert {r.n_variants for r in groups} == {3, 4}
+    assert len(groups) == n_docs + n_param_docs
+    bare = [r for r in groups if "?" not in r.canonical_url]
+    param = [r for r in groups if "?" in r.canonical_url]
+    assert len(bare) == n_docs and len(param) == n_param_docs
+    assert {r.n_variants for r in bare} == {3, 4}
+    # both param orders land on the same ?ref=a key
+    assert all(r.n_variants == 2 and r.canonical_url.endswith("?ref=a")
+               for r in param)
     assert messy_urls(spark, sf_small).count() == \
         sum(r.n_variants for r in groups)
     for r in groups:
