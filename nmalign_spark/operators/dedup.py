@@ -334,7 +334,7 @@ SIMHASH_MAX_HAMMING = 3  # pigeonhole: Hamming<=3 => at least one equal band
 
 def simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: Hamming distance <= ``SIMHASH_MAX_HAMMING``
-    on the 16-bit signature, found via band equi-join.
+    on the 32-bit signature, found via band equi-join.
 
     The classic simhash dedup shape: split the signature into
     ``SIMHASH_BANDS`` bands of 8 bits — any pair within Hamming distance 3

@@ -248,7 +248,14 @@ def export_workspaces(merged_df, output_grp: str,
     metadata returns to the driver, which then serially patches each tiny
     shared ``mets.xml``.  Re-running without ``overwrite=True`` raises
     ``FileExistsError`` like the reference; with it, the previous fileGrp
-    and its fptrs are replaced, never duplicated."""
+    and its fptrs are replaced, never duplicated.
+
+    The existing-fileGrp guard runs on the DRIVER over every distinct
+    workspace BEFORE the executor write pass (each check is one tiny
+    ``mets.xml`` read): a mid-write failure on a later workspace would
+    otherwise leave earlier workspaces with orphaned PAGE-XML blobs (no
+    METS registration) and surface as a wrapped Py4J error instead of
+    ``FileExistsError``."""
     import pandas as pd
 
     meta = (merged_df
@@ -257,15 +264,14 @@ def export_workspaces(merged_df, output_grp: str,
                 "substring(url, 1, length(url) - length("
                 f"substring_index(url, '{_SEP}', -1)) - 1)")))
 
+    for r in meta.select("workspace").distinct().collect():
+        _check_output_grp(r.workspace, output_grp, overwrite)
+
     def write_pages(batches):
-        checked: set[str] = set()
         for pdf in batches:
             out = []
             for ws_dir, page_id, xml in zip(pdf["workspace"],
                                             pdf["page_id"], pdf["xml"]):
-                if ws_dir not in checked:
-                    _check_output_grp(ws_dir, output_grp, overwrite)
-                    checked.add(ws_dir)
                 out_dir = Path(ws_dir) / output_grp
                 out_dir.mkdir(parents=True, exist_ok=True)
                 file_id = f"{output_grp}_{page_id}"
