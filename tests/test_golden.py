@@ -56,3 +56,40 @@ def test_noisy_alignment_sf001_pinned(spark, sf_mid):
     assert len(pdf) == GOLDEN_MID_ROWS
     body = _canonical_csv(pdf)
     assert hashlib.sha256(body.encode()).hexdigest() == GOLDEN_MID_SHA
+
+
+# --- sf0.01 salted-giant pin: guards the chunker/assembler seam -----------
+
+GOLDEN_GIANT_ROWS = 1324
+GOLDEN_GIANT_SHA = ("e957f224a77b2bb375db40968c0f6ec3930c51d49d4e3f597"
+                    "f56bf772b3b6e8f")
+
+
+def test_salted_giant_sf001_pinned(spark, sf_mid):
+    """One 43k-char giant page (the first 150 sf0.01 documents
+    concatenated, synthesized via the standard deterministic
+    sources/pages.synth_page) routed through the SALTED path
+    (align_pages_salted, giant_chars=20000, chunk_rows=64 -> the matrix is
+    stitched from many chunk tasks).  The salted path is bit-identical to
+    the plain path by unit test (tests/test_salt.py); this pin freezes the
+    chunker/assembler seam's actual output so silent drift in chunk
+    boundaries, re-merge order, or span arithmetic flips a committed
+    hash."""
+    import pandas as pd
+
+    from nmalign_spark.operators.salt import align_pages_salted
+    from nmalign_spark.sources.pages import PAGES_SCHEMA, synth_page
+
+    docs = pd.read_parquet(f"{sf_mid}/documents.parquet").sort_values("doc_id")
+    giant_text = "\n".join(docs["text"].head(150))
+    assert len(giant_text) > 20000  # must actually route giant
+    row = synth_page(999999, giant_text, "en")
+    pages = spark.createDataFrame(
+        pd.DataFrame([row], columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+    pdf = align_pages_salted(pages, normalization=DEFAULT_NORMALIZATION,
+                             try_subseg=True, giant_chars=20000,
+                             chunk_rows=64).toPandas()
+    assert len(pdf) == GOLDEN_GIANT_ROWS
+    body = _canonical_csv(pdf)
+    assert hashlib.sha256(body.encode()).hexdigest() == GOLDEN_GIANT_SHA
