@@ -63,8 +63,16 @@ def load_previous(path: str | None) -> tuple[str, dict[str, float]] | None:
         except (OSError, json.JSONDecodeError):
             continue
         # driver records wrap the bench line under "parsed"
-        parsed = d.get("parsed", d)
+        parsed = d.get("parsed", d) or {}
         if "queries" in parsed:
+            proto = str(parsed.get("protocol", ""))
+            if "min-of-" not in proto:
+                # single-pass records (r1/r2 era) are apples-to-oranges vs
+                # min-of-N minima (ADVICE r3): warn and keep looking for a
+                # comparable baseline before falling back to it
+                print(f"  note: {p.name} protocol={proto or 'single-pass'} "
+                      "is not min-of-N; comparing minima against it "
+                      "overstates improvements", file=sys.stderr)
             return p.name, dict(parsed["queries"])
     return None
 
