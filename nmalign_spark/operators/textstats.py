@@ -737,7 +737,102 @@ GROUP BY lang
 """
 
 
+C4_MIN_WORDS_PER_LINE = 3   # C4: drop lines shorter than this
+C4_MIN_KEPT_LINES = 1       # docs keeping fewer terminal lines are dropped
+
+
+def c4_filters(spark, sf_dir):
+    """C4-style line+document filters (Raffel et al. 2020, public): keep
+    only lines that end in terminal punctuation AND have >= 3 words; drop
+    any document that mentions ``lorem ipsum``, contains ``{``, or has a
+    line with the word ``javascript``; emit per-doc counts, the kept-line
+    character count (the re-joined text's size — a cheap proxy the judge
+    can hash without megabyte columns), and the combined ``pass_c4`` flag.
+
+    The synthetic corpus is single-line without terminal punctuation, so
+    deterministic twins are planted (identically in the oracle): every
+    ``%53==13`` doc gets a +700000 twin reflowed into '.'-terminated lines
+    (every line kept); every ``%59==17`` doc a +800000 twin with a
+    ``lorem ipsum {`` line and a javascript line appended (dropped by the
+    blocklist, whatever its line stats).
+
+    Scale shape: pure scan-side HOFs over split lines — no shuffle, no
+    UDF; same whole-stage-codegen tier as the Gopher gate."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    reflow = (d.where(F.col("doc_id") % 53 == 13)
+              .select((F.col("doc_id") + 700000).alias("doc_id"),
+                      F.concat(F.replace(F.col("text"), F.lit(" "),
+                                         F.lit(" x y.\n")), F.lit(" x y."))
+                      .alias("text")))
+    blocked = (d.where(F.col("doc_id") % 59 == 17)
+               .select((F.col("doc_id") + 800000).alias("doc_id"),
+                       F.concat("text",
+                                F.lit("\nlorem ipsum { dolor sit.\n"
+                                      "enable javascript to continue."))
+                       .alias("text")))
+    d = d.unionByName(reflow).unionByName(blocked)
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    kept = F.filter(
+        lines,
+        lambda ln: (ln.endswith(".") | ln.endswith("!") | ln.endswith("?")
+                    | ln.endswith("\""))
+        & (F.size(F.filter(F.split(ln, " "), lambda w: w != ""))
+           >= C4_MIN_WORDS_PER_LINE))
+    n_kept = F.size(kept)
+    kept_chars = F.length(F.array_join(kept, "\n"))
+    low = F.lower("text")
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = low.contains("{")
+    has_js = low.contains("javascript")
+    pass_c4 = ((n_kept >= C4_MIN_KEPT_LINES)
+               & ~has_lorem & ~has_brace & ~has_js)
+    return d.select("doc_id", n_lines.alias("n_lines"),
+                    n_kept.alias("n_kept_lines"),
+                    kept_chars.alias("kept_chars"),
+                    has_lorem.alias("has_lorem"),
+                    has_brace.alias("has_brace"),
+                    has_js.alias("has_js"),
+                    pass_c4.alias("pass_c4"))
+
+
+ORACLE_C4 = f"""
+WITH cdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000 AS doc_id,
+         replace(text, ' ', ' x y.' || chr(10)) || ' x y.' AS text
+  FROM documents WHERE doc_id % 53 = 13
+  UNION ALL
+  SELECT doc_id + 800000 AS doc_id,
+         text || chr(10) || 'lorem ipsum {{ dolor sit.' || chr(10) ||
+         'enable javascript to continue.' AS text
+  FROM documents WHERE doc_id % 59 = 17),
+base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), ln ->
+           (ends_with(ln, '.') OR ends_with(ln, '!') OR ends_with(ln, '?')
+            OR ends_with(ln, '"'))
+           AND len(list_filter(string_split(ln, ' '), w -> w != ''))
+               >= {C4_MIN_WORDS_PER_LINE}) AS kept
+  FROM cdocs)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept_lines,
+       LENGTH(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_chars,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(lower(text), '{{') AS has_brace,
+       contains(lower(text), 'javascript') AS has_js,
+       (len(kept) >= {C4_MIN_KEPT_LINES}
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(lower(text), '{{')
+        AND NOT contains(lower(text), 'javascript')) AS pass_c4
+FROM base
+"""
+
+
 QUERIES = {
+    "text_c4_filters": c4_filters,
     "text_token_counts": token_counts,
     "text_quality": quality_scores,
     "text_langid": lang_id,
@@ -754,6 +849,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_c4_filters": ORACLE_C4,
     "text_token_counts": ORACLE_TOKENS,
     "text_quality": ORACLE_QUALITY,
     "text_langid": ORACLE_LANGID,
