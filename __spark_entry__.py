@@ -80,7 +80,7 @@ _GATE_PRIORITY = [
     "sim_topk_cosine", "sim_ivf_topk", "sim_ivf_lloyd_topk",
     "sim_cosine_dups", "sim_cosine_dups_lsh", "emb_label_cohesion",
     "text_token_counts", "text_quality", "text_langid", "text_fingerprint",
-    "text_repetition", "a4_hierarchy_rollup", "text_c4_filters",
+    "text_repetition", "text_c4_filters", "dedup_lines",
 ]
 
 

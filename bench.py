@@ -120,6 +120,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["corpus_top_ngrams"] = lambda: textstats.corpus_top_ngrams(spark, sf_dir)
         queries["emb_label_cohesion"] = lambda: similarity.label_cohesion(spark, sf_dir)
         queries["curation_verdict"] = lambda: dedup.curation_verdict(spark, sf_dir)
+        queries["text_c4_filters"] = lambda: textstats.c4_filters(spark, sf_dir)
+        queries["dedup_lines"] = lambda: dedup.line_dedup(spark, sf_dir)
     except ImportError:
         pass
 

@@ -28,7 +28,7 @@ from .relational import fan_out, sliding_ngrams, t
 
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
            "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
-           "span_dup_fraction", "ORACLES", "QUERIES"]
+           "span_dup_fraction", "line_dedup", "ORACLES", "QUERIES"]
 
 SHINGLE_K = 5          # words per shingle
 STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
@@ -541,6 +541,92 @@ GROUP BY s.doc_id
 """
 
 
+# --- corpus-level boilerplate line removal (CC-Net-style) -------------------
+
+LINE_DF_MAX = 2           # lines in more distinct docs than this are dropped
+LINE_BANNER = "we use cookies to improve your experience."
+LINE_FOOTER = "subscribe to our newsletter."
+
+
+def line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-line removal (CC-Net / RefinedWeb, public):
+    a line that occurs in more than ``LINE_DF_MAX`` *distinct* documents
+    is boilerplate (cookie banners, nav bars, footers) and is removed
+    from every document; the cleaned text is re-assembled from the
+    surviving lines in original order.  Emits per-doc line counts plus
+    the md5 of the re-assembled text — the md5 proves the rebuild is
+    byte-identical (docs with no boilerplate hash to their input).
+
+    The synthetic corpus is single-line with no shared boilerplate, so
+    deterministic clutter is planted identically in the oracle: every
+    ``%4==2`` doc gets a cookie-banner first line, every ``%3==1`` doc a
+    newsletter footer line.
+
+    Scale shape: document-frequency is counted over md5(line) — the
+    distinct + count shuffles move 32-char hashes, never line text; the
+    join back to the positional line table is a keyed equi-join where
+    hot boilerplate hashes are exactly the AQE skew-join case; re-assembly
+    is one groupBy(doc_id) whose state is bounded by document size
+    (collect_list of the doc's own kept lines, never a posting list)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 2,
+                   F.lit(LINE_BANNER + "\n")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1,
+                   F.lit("\n" + LINE_FOOTER)).otherwise(F.lit("")),
+        ).alias("text"))
+    lines = d.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")) \
+        .withColumn("h", F.md5("line"))
+    dfc = (lines.select("doc_id", "h").distinct()
+           .groupBy("h").agg(F.count(F.lit(1)).alias("df")))
+    keep = F.col("df") <= LINE_DF_MAX
+    kept_line = F.when(keep, F.struct("pos", "line"))
+    rebuilt = F.array_join(
+        F.transform(F.array_sort(F.collect_list(kept_line)),
+                    lambda s: s["line"]), "\n")
+    return (lines.join(dfc, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(keep.cast("long")).alias("n_kept"),
+                 F.length(rebuilt).alias("clean_chars"),
+                 F.md5(rebuilt).alias("clean_md5")))
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH cdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 2 THEN '{LINE_BANNER}' || chr(10)
+              ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 3 = 1 THEN chr(10) || '{LINE_FOOTER}'
+              ELSE '' END AS text
+  FROM documents),
+ln AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+         UNNEST(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM cdocs)),
+dfs AS (
+  SELECT h, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, md5(line) AS h FROM ln) GROUP BY h),
+j AS (
+  SELECT ln.doc_id, ln.pos, ln.line, d.df <= {LINE_DF_MAX} AS keep
+  FROM ln JOIN dfs d ON md5(ln.line) = d.h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       LENGTH(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                  ORDER BY pos), '')) AS clean_chars,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM j GROUP BY doc_id
+"""
+
+
 # --- incremental dedup against a committed corpus ---------------------------
 
 def incremental_dedup(spark, sf_dir):
@@ -713,6 +799,7 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_components": duplicate_components,
     "dedup_span_fraction": span_dup_fraction,
+    "dedup_lines": line_dedup,
     "dedup_incremental": incremental_dedup,
     "curation_verdict": curation_verdict,
 }
@@ -725,6 +812,7 @@ ORACLES = {
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_components": ORACLE_COMPONENTS,
     "dedup_span_fraction": ORACLE_SPAN_FRACTION,
+    "dedup_lines": ORACLE_LINE_DEDUP,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "curation_verdict": ORACLE_VERDICT,
 }
