@@ -122,6 +122,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["curation_verdict"] = lambda: dedup.curation_verdict(spark, sf_dir)
         queries["text_c4_filters"] = lambda: textstats.c4_filters(spark, sf_dir)
         queries["dedup_lines"] = lambda: dedup.line_dedup(spark, sf_dir)
+        queries["mix_domain_cap"] = lambda: textstats.domain_cap(spark, sf_dir)
+        queries["mix_temperature"] = lambda: textstats.temperature_mix(spark, sf_dir)
     except ImportError:
         pass
 

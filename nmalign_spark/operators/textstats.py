@@ -831,6 +831,133 @@ FROM base
 """
 
 
+# --- per-domain document cap (RefinedWeb-style, public) --------------------
+
+DOMAIN_CAP_K = 10
+_N_HOSTS = 997
+
+
+def _hosted_docs(spark, sf_dir):
+    """(doc_id, host): deterministic host assignment with one planted hot
+    host — every ``%4==0`` doc lands on ``h0`` (≈25% of the corpus), the
+    rest spread thin over 997 hosts (a few docs each, under the cap).
+    Mirrors real crawls, where a handful of domains dominate the page
+    count while the host tail is long and sparse."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    host_id = F.when(F.col("doc_id") % 4 == 0, F.lit(0)) \
+        .otherwise(F.col("doc_id") % F.lit(_N_HOSTS))
+    host = F.concat(F.lit("h"), host_id.cast("string"),
+                    F.lit(".example.org"))
+    return d.select("doc_id", host.alias("host"))
+
+
+def domain_cap(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb / Penedo et al. 2023, public):
+    keep at most ``DOMAIN_CAP_K`` documents per host so that no single
+    domain dominates the training mix.  Selection is deterministic —
+    rank by md5(doc_id) within the host — so re-runs keep the identical
+    subset (resume-safe, like the stratified sampler).
+
+    Scale shape (skew-routed, same pattern as the salted aligner): the
+    host-frequency count is map-side combinable; docs on UNDER-cap hosts
+    (the long tail — the vast majority of a real crawl) pass through with
+    NO per-key ordering at all; only docs on over-cap hosts pay the
+    window sort, and that subset is bounded by the hot-host row counts.
+    A naive global ``row_number() over (partition by host)`` would sort
+    the entire corpus and put each giant host in one task — routing
+    first means the window input is only the skewed slice."""
+    from pyspark.sql import Window
+
+    docs = _hosted_docs(spark, sf_dir)
+    counts = docs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_host_docs"))
+    sized = docs.join(counts, "host")
+    small = (sized.where(F.col("n_host_docs") <= DOMAIN_CAP_K)
+             .withColumn("kept", F.lit(True)))
+    w = (Window.partitionBy("host")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")))
+    hot = (sized.where(F.col("n_host_docs") > DOMAIN_CAP_K)
+           .withColumn("kept", F.row_number().over(w) <= DOMAIN_CAP_K))
+    return small.unionByName(hot).select(
+        "doc_id", "host", "n_host_docs", "kept")
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH hosted AS (
+  SELECT doc_id,
+         'h' || CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                          ELSE doc_id % {_N_HOSTS} END AS VARCHAR)
+             || '.example.org' AS host
+  FROM documents),
+sized AS (
+  SELECT h.doc_id, h.host, c.n_host_docs
+  FROM hosted h
+  JOIN (SELECT host, COUNT(*) AS n_host_docs FROM hosted GROUP BY host) c
+    USING (host)),
+ranked AS (
+  SELECT doc_id, host, n_host_docs,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM sized)
+SELECT doc_id, host, CAST(n_host_docs AS BIGINT) AS n_host_docs,
+       (n_host_docs <= {DOMAIN_CAP_K} OR rn <= {DOMAIN_CAP_K}) AS kept
+FROM ranked
+"""
+
+
+# --- temperature-balanced multilingual mixing (alpha = 0.5, public) ---------
+
+def temperature_mix(spark, sf_dir):
+    """Temperature-balanced language sampling (the multilingual mixing
+    rule of mBERT / XLM-R, Conneau et al. 2020, public): expected kept
+    volume per language ∝ n_lang^alpha with alpha = 0.5, normalized so
+    the smallest language keeps 100% — high-resource languages are
+    downsampled toward the low-resource ones.  keep-rate_l =
+    sqrt(n_min / n_l); the keep decision hashes doc_id into [0, 65536)
+    and compares against rate·65536, so the subset is deterministic and
+    engine-portable (sqrt and IEEE division are correctly rounded in
+    both engines — no ulp drift across the threshold).
+
+    Scale shape: the per-language count is map-side combinable and
+    language-cardinality sized; the 1-row global min rides a broadcast
+    cross join; the rate table broadcasts back onto the scan, so the
+    corpus itself is filtered scan-side with NO shuffle; the final
+    per-language rollup is a tiny combinable count."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = (counts.crossJoin(F.broadcast(nmin))
+             .withColumn("rate", F.sqrt(
+                 F.col("n_min").cast("double") / F.col("n_docs"))))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long")
+    keep = bucket < F.col("rate") * 65536
+    return (d.join(F.broadcast(rates), "lang")
+            .groupBy("lang", "n_docs", "rate")
+            .agg(F.sum(keep.cast("long")).alias("n_kept"))
+            .select("lang", "n_docs", "n_kept",
+                    F.round("rate", 6).alias("keep_rate")))
+
+
+ORACLE_TEMPERATURE = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, n_docs,
+         sqrt((SELECT MIN(n_docs) FROM counts) * 1.0 / n_docs) AS rate
+  FROM counts),
+k AS (
+  SELECT d.lang, r.n_docs, r.rate,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+              AS BIGINT) < r.rate * 65536 AS keep
+  FROM documents d JOIN rates r USING (lang))
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(rate, 6) AS keep_rate
+FROM k GROUP BY lang, n_docs, rate
+"""
+
+
 QUERIES = {
     "text_c4_filters": c4_filters,
     "text_token_counts": token_counts,
@@ -845,6 +972,8 @@ QUERIES = {
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_unigram_logprob": unigram_logprob,
     "mix_token_budget": token_budget_sample,
+    "mix_domain_cap": domain_cap,
+    "mix_temperature": temperature_mix,
     "st_quality_gate": quality_gate_counts,
 }
 
@@ -862,5 +991,7 @@ ORACLES = {
     "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
     "text_unigram_logprob": ORACLE_UNIGRAM,
     "mix_token_budget": ORACLE_TOKEN_BUDGET,
+    "mix_domain_cap": ORACLE_DOMAIN_CAP,
+    "mix_temperature": ORACLE_TEMPERATURE,
     "st_quality_gate": ORACLE_QUALITY_GATE,
 }

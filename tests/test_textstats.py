@@ -200,3 +200,52 @@ def test_sliding_ngrams_equals_closure_form(spark):
                         sliding_ngrams(F.split("text", " "), k).alias("b")) \
                 .where(F.col("a") != F.col("b")).count()
         assert got == 0, f"k={k}: {got} rows diverge"
+
+
+def test_domain_cap_hot_host_capped_tail_untouched(spark, sf_small):
+    """The planted hot host (every %4==0 doc on h0) is capped at exactly
+    DOMAIN_CAP_K kept docs; under-cap hosts keep everything; the routed
+    union covers every document exactly once."""
+    from nmalign_spark.operators.textstats import DOMAIN_CAP_K, domain_cap
+
+    rows = domain_cap(spark, sf_small).collect()
+    n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    assert len(rows) == n_docs == len({r.doc_id for r in rows})
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["h0.example.org"]) > DOMAIN_CAP_K  # hot path hit
+    assert any(len(v) <= DOMAIN_CAP_K for v in by_host.values())  # tail hit
+    for host, rs in by_host.items():
+        n_kept = sum(r.kept for r in rs)
+        assert all(r.n_host_docs == len(rs) for r in rs)
+        expect = len(rs) if len(rs) <= DOMAIN_CAP_K else DOMAIN_CAP_K
+        assert n_kept == expect, host
+
+
+def test_domain_cap_selection_is_deterministic(spark, sf_small):
+    from nmalign_spark.operators.textstats import domain_cap
+
+    a = {(r.doc_id, r.kept) for r in domain_cap(spark, sf_small).collect()}
+    b = {(r.doc_id, r.kept) for r in domain_cap(spark, sf_small).collect()}
+    assert a == b
+
+
+def test_temperature_mix_rates(spark, sf_small):
+    """alpha=0.5 normalization: the smallest language keeps rate 1.0 (and
+    every one of its docs); keep-rate decreases as language size grows;
+    kept counts track rate*n within hash-sampling tolerance."""
+    from nmalign_spark.operators.textstats import temperature_mix
+
+    rows = temperature_mix(spark, sf_small).collect()
+    n_min = min(r.n_docs for r in rows)
+    for r in rows:
+        assert abs(r.keep_rate - (n_min / r.n_docs) ** 0.5) < 1e-6
+        if r.n_docs == n_min:
+            assert r.n_kept == r.n_docs
+        assert r.n_kept <= r.n_docs
+        # binomial tolerance: 4 sigma around the expected kept volume
+        import math
+        exp = r.keep_rate * r.n_docs
+        tol = 4 * math.sqrt(r.n_docs * 0.25) + 1
+        assert abs(r.n_kept - exp) <= tol
