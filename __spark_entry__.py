@@ -75,11 +75,12 @@ _GATE_PRIORITY = [
     # green in r2 but dropped from the r3 sample window
     "mm_media_meta", "mm_media_features", "mm_frame_sample", "mm_resize_plan",
     "st_hourly_counts", "st_session_windows", "ev_props_extract",
-    # r4-new mixing operators (never driver-checked)
-    "mix_domain_cap", "mix_temperature",
-    # remaining dedup / similarity / text coverage (dedup_exact and
-    # dedup_simhash rotate to the tail: r3-green, code untouched)
-    "dedup_simhash_pairs", "dedup_incremental",
+    # r4-new curation operators (never driver-checked)
+    "mix_domain_cap", "mix_temperature", "dedup_span_removal",
+    # remaining dedup / similarity / text coverage (dedup_exact,
+    # dedup_simhash, dedup_simhash_pairs rotate to the tail: r3-green,
+    # code untouched)
+    "dedup_incremental",
     "sim_topk_cosine", "sim_ivf_topk", "sim_ivf_lloyd_topk",
     "sim_cosine_dups", "sim_cosine_dups_lsh", "emb_label_cohesion",
     "text_token_counts", "text_quality", "text_langid", "text_fingerprint",

@@ -124,6 +124,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["dedup_lines"] = lambda: dedup.line_dedup(spark, sf_dir)
         queries["mix_domain_cap"] = lambda: textstats.domain_cap(spark, sf_dir)
         queries["mix_temperature"] = lambda: textstats.temperature_mix(spark, sf_dir)
+        queries["dedup_span_removal"] = lambda: dedup.span_removal(spark, sf_dir)
     except ImportError:
         pass
 

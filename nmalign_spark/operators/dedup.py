@@ -28,7 +28,8 @@ from .relational import fan_out, sliding_ngrams, t
 
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
            "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
-           "span_dup_fraction", "line_dedup", "ORACLES", "QUERIES"]
+           "span_dup_fraction", "span_removal", "line_dedup",
+           "ORACLES", "QUERIES"]
 
 SHINGLE_K = 5          # words per shingle
 STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
@@ -541,6 +542,109 @@ GROUP BY s.doc_id
 """
 
 
+# --- duplicated-span REMOVAL (Lee et al. 2022 ExactSubstr, word-level) ------
+
+SPAN_SLOGAN = "visit our site for the best deals on everything today"
+
+
+def span_removal(spark, sf_dir):
+    """Remove every corpus-duplicated span from every document and rebuild
+    the clean text — the removal counterpart of :func:`span_dup_fraction`
+    (Lee et al. 2022 "ExactSubstr", public; word-level ``SHINGLE_K``-grams
+    stand in for their byte-level 50-grams).  A token is removed iff it is
+    covered by any ``SHINGLE_K``-gram occurring ≥2 times in the corpus
+    (including twice within one document); surviving tokens are re-joined
+    in original order, so a doc with no duplicated span rebuilds
+    byte-identically (md5-provable).
+
+    A 10-word slogan is planted on every ``%6==3`` doc (identically in
+    the oracle): its grams are corpus-duplicated and must vanish from
+    every occurrence, while the boundary grams straddling original text
+    and slogan are unique per doc and must NOT widen the removal.
+
+    Scale shape: gram occurrence counting is a map-side-combinable
+    ``groupBy(md5(gram)).count`` — shuffles 32-char hashes, never gram
+    text, partial state one long per gram per task; the dup filter is a
+    keyed equi-join where hot boilerplate grams are the AQE skew case;
+    coverage fan-out is a bounded ×K explode of ONLY the duplicated
+    occurrences (sparse in a curated corpus); the position-level
+    left join and the final rebuild group are keyed on (doc_id, pos) /
+    doc_id with state bounded by document size.  No posting lists, no
+    unbounded per-key aggregation anywhere."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 3,
+               F.concat("text", F.lit(" " + SPAN_SLOGAN)))
+        .otherwise(F.col("text")).alias("text"))
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("l"), F.size(toks).alias("n"))
+    grams = (base.select(
+        "doc_id", "n",
+        F.posexplode(sliding_ngrams(F.col("l"), SHINGLE_K))
+        .alias("gpos", "gram"))
+        .select("doc_id", "n", "gpos", F.md5("gram").alias("h")))
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup = grams.join(cnt.where(F.col("occ") >= 2), "h")
+    covered = (dup.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.col("gpos"),
+            F.least(F.col("gpos") + SHINGLE_K - 1, F.col("n") - 1)))
+        .alias("pos"))
+        .distinct()
+        .withColumn("cov", F.lit(True)))
+    tokpos = base.select("doc_id", F.posexplode("l").alias("pos", "tok"))
+    j = (tokpos.join(covered, ["doc_id", "pos"], "left")
+         .withColumn("cov", F.coalesce("cov", F.lit(False))))
+    kept_tok = F.when(~F.col("cov"), F.struct("pos", "tok"))
+    rebuilt = F.array_join(
+        F.transform(F.array_sort(F.collect_list(kept_tok)),
+                    lambda s: s["tok"]), " ")
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("cov").cast("long")).alias("n_removed"),
+                 F.length(rebuilt).alias("clean_chars"),
+                 F.md5(rebuilt).alias("clean_md5")))
+
+
+ORACLE_SPAN_REMOVAL = f"""
+WITH cdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 3 THEN text || ' {SPAN_SLOGAN}'
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM cdocs),
+grams AS (
+  SELECT doc_id, i - 1 AS gpos, len(l) AS n,
+         array_to_string(list_slice(l, i, i + {SHINGLE_K - 1}), ' ') AS gram
+  FROM toks,
+       UNNEST(range(1, GREATEST(len(l) - {SHINGLE_K - 1}, 1) + 1)) AS r(i)),
+cnt AS (SELECT gram, COUNT(*) AS occ FROM grams GROUP BY gram),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.gpos + u.k AS pos
+  FROM grams g JOIN cnt c USING (gram), UNNEST(range(0, {SHINGLE_K})) AS u(k)
+  WHERE c.occ >= 2 AND g.gpos + u.k <= g.n - 1),
+tokpos AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+         UNNEST(l) AS tok
+  FROM toks),
+j AS (
+  SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS cov
+  FROM tokpos t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       LENGTH(COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+                                  ORDER BY pos), '')) AS clean_chars,
+       md5(COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+                               ORDER BY pos), '')) AS clean_md5
+FROM j GROUP BY doc_id
+"""
+
+
 # --- corpus-level boilerplate line removal (CC-Net-style) -------------------
 
 LINE_DF_MAX = 2           # lines in more distinct docs than this are dropped
@@ -799,6 +903,7 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_components": duplicate_components,
     "dedup_span_fraction": span_dup_fraction,
+    "dedup_span_removal": span_removal,
     "dedup_lines": line_dedup,
     "dedup_incremental": incremental_dedup,
     "curation_verdict": curation_verdict,
@@ -812,6 +917,7 @@ ORACLES = {
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_components": ORACLE_COMPONENTS,
     "dedup_span_fraction": ORACLE_SPAN_FRACTION,
+    "dedup_span_removal": ORACLE_SPAN_REMOVAL,
     "dedup_lines": ORACLE_LINE_DEDUP,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "curation_verdict": ORACLE_VERDICT,
