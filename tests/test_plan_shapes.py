@@ -71,3 +71,38 @@ def test_curation_verdict_decon_join_broadcasts(spark, sf_small):
     plan = _plan(dedup.curation_verdict(spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_domain_cap_window_only_on_hot_branch(spark, sf_small):
+    """Skew routing (PLANS.md 5h): the under-cap long-tail branch must
+    reach the Union with NO Sort/Window; only the over-cap slice may be
+    exchanged and window-sorted, so windowed state is bounded by the hot
+    hosts' rows, not the corpus."""
+    from nmalign_spark.operators.textstats import domain_cap
+
+    plan = _plan(domain_cap(spark, sf_small))
+    assert "Union" in plan
+    union_body = plan[plan.index("Union"):]
+    # exactly one Window in the whole union — the hot branch's
+    assert union_body.count("Window") == 1
+    # the Window sits below the over-cap filter, so its input is the
+    # hot slice, not the corpus
+    assert plan.index("Window") > plan.index("Union")
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, sf_small):
+    """The corpus scan must reach its aggregation through broadcast joins
+    only — every Exchange in the plan belongs to the tiny language-count
+    aggregations, not the documents scan (PLANS.md 5h)."""
+    from nmalign_spark.operators.textstats import temperature_mix
+
+    df = temperature_mix(spark, sf_small)
+    plan = _plan(df)
+    # the rates side reaches the corpus via broadcast
+    assert "BroadcastHashJoin" in plan
+    # no SortMergeJoin / shuffled hash join anywhere: the only Exchanges
+    # are hash aggregations over `lang` (cardinality ~5) and the final
+    # group, never a join repartition of the corpus
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
