@@ -111,6 +111,28 @@ def main(sf_dir: str) -> None:
         F.sum(F.col("is_contaminated").cast("long")).alias("contaminated"),
     ).first().asDict()
 
+    # -- removal/mixing tier selectivity (exact ops, context) --------------
+    from nmalign_spark.operators import textstats
+    ld = dedup.line_dedup(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_lines").alias("lines"),
+        F.sum("n_kept").alias("kept"),
+        F.sum((F.col("n_kept") < F.col("n_lines")).cast("long"))
+        .alias("touched")).first().asDict()
+    sr = dedup.span_removal(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("toks"),
+        F.sum("n_removed").alias("removed"),
+        F.sum((F.col("n_removed") > 0).cast("long"))
+        .alias("touched")).first().asDict()
+    dcp = textstats.domain_cap(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+        F.countDistinct("host").alias("hosts")).first().asDict()
+    tm = textstats.temperature_mix(spark, sf_dir).agg(
+        F.sum("n_docs").alias("n"),
+        F.sum("n_kept").alias("kept")).first().asDict()
+
     spark.stop()
 
     md = ["# QUALITY — measured recall of the sub-quadratic paths",
@@ -149,7 +171,27 @@ def main(sf_dir: str) -> None:
            f"{sel['contaminated']} benchmark-contaminated (share an 8-gram "
            "with the stand-in benchmark set).  These are exact rules "
            "(hash-gated vs DuckDB), so the numbers characterize the "
-           "synthetic corpus + thresholds, not an approximation."]
+           "synthetic corpus + thresholds, not an approximation.",
+           "",
+           "## Removal/mixing tier selectivity (exact ops, context)",
+           "",
+           f"- `dedup_lines` ({ld['n']} docs incl. planted banners/footers): "
+           f"{ld['kept']}/{ld['lines']} lines survive; {ld['touched']} docs "
+           "had boilerplate removed (every doc whose planted corpus-wide "
+           "line crossed LINE_DF_MAX; untouched docs rebuild md5-identical).",
+           f"- `dedup_span_removal` ({sr['n']} docs): "
+           f"{sr['removed']}/{sr['toks']} tokens removed "
+           f"({sr['removed'] / max(sr['toks'], 1):.1%}) across "
+           f"{sr['touched']} docs — the planted slogan plus the synthetic "
+           "generator's own reused phrasing (ExactSubstr counts "
+           "occurrences, so template reuse inside the natural corpus is "
+           "removed too, exactly as on a real crawl).",
+           f"- `mix_domain_cap` ({dcp['n']} docs over {dcp['hosts']} "
+           f"hosts): {dcp['kept']} kept — the hot host h0 capped at "
+           f"{textstats.DOMAIN_CAP_K}, the long under-cap tail untouched.",
+           f"- `mix_temperature`: {tm['kept']}/{tm['n']} docs kept at "
+           "alpha=0.5 (smallest language keeps 100%, larger ones "
+           "downsampled by sqrt(n_min/n))."]
     (REPO / "QUALITY.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
 
