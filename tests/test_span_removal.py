@@ -74,3 +74,58 @@ def test_within_doc_repetition_counts_as_duplicated(spark):
     for doc_id, text in rows[1:]:
         assert out[doc_id]["clean_md5"] == \
             hashlib.md5(text.encode()).hexdigest()
+
+
+def _naive(texts: dict, k: int) -> dict:
+    """Pure-Python ExactSubstr reference: occurrence-counted K-grams
+    (whole-array window for <K-token docs), union coverage, rebuild."""
+    from collections import Counter
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+
+    def windows(l):
+        n = len(l)
+        if n >= k:
+            return [(i, " ".join(l[i:i + k])) for i in range(n - k + 1)]
+        return [(0, " ".join(l))]
+
+    occ = Counter(g for l in toks.values() for _, g in windows(l))
+    out = {}
+    for d, l in toks.items():
+        n = len(l)
+        covered = set()
+        for i, g in windows(l):
+            if occ[g] >= 2:
+                covered.update(range(i, min(i + k, n)))
+        kept = [t for j, t in enumerate(l) if j not in covered]
+        out[d] = (" ".join(kept), n, len(covered))
+    return out
+
+
+def test_span_removal_matches_naive_reference_fuzz(spark):
+    """Randomized parity vs the naive reference: overlapping duplicated
+    grams, within-doc repeats, <K-token docs, empty tokens from double
+    spaces — coverage must be the exact union of dup-gram windows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "ab", "x"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=5)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(corpus)
+    def run(docs):
+        # ids 6*i+1 avoid the operator's %6==3 planted-slogan branch
+        texts = {6 * i + 1: t for i, t in enumerate(docs)}
+        expect = _naive(texts, SHINGLE_K)
+        got = _patched(spark, list(texts.items()))
+        assert set(got) == set(expect)
+        for d, (clean, n, n_removed) in expect.items():
+            r = got[d]
+            assert r["n_tokens"] == n
+            assert r["n_removed"] == n_removed
+            assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+    run()
