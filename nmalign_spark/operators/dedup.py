@@ -652,6 +652,22 @@ LINE_BANNER = "we use cookies to improve your experience."
 LINE_FOOTER = "subscribe to our newsletter."
 
 
+def _cluttered_docs(spark, sf_dir):
+    """documents with deterministic boilerplate clutter planted: cookie
+    banner first line on ``%4==2`` docs, newsletter footer on ``%3==1``
+    docs (the synthetic corpus is single-line with no shared lines)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 2,
+                   F.lit(LINE_BANNER + "\n")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1,
+                   F.lit("\n" + LINE_FOOTER)).otherwise(F.lit("")),
+        ).alias("text"))
+
+
 def line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (CC-Net / RefinedWeb, public):
     a line that occurs in more than ``LINE_DF_MAX`` *distinct* documents
@@ -672,16 +688,7 @@ def line_dedup(spark, sf_dir):
     hot boilerplate hashes are exactly the AQE skew-join case; re-assembly
     is one groupBy(doc_id) whose state is bounded by document size
     (collect_list of the doc's own kept lines, never a posting list)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    d = docs.select(
-        "doc_id",
-        F.concat(
-            F.when(F.col("doc_id") % 4 == 2,
-                   F.lit(LINE_BANNER + "\n")).otherwise(F.lit("")),
-            F.col("text"),
-            F.when(F.col("doc_id") % 3 == 1,
-                   F.lit("\n" + LINE_FOOTER)).otherwise(F.lit("")),
-        ).alias("text"))
+    d = _cluttered_docs(spark, sf_dir)
     lines = d.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")) \
         .withColumn("h", F.md5("line"))
@@ -725,6 +732,73 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        LENGTH(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
                                   ORDER BY pos), '')) AS clean_chars,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM j GROUP BY doc_id
+"""
+
+
+def boilerplate_strip_expr(text_col, blocklist_md5s):
+    """(n_lines, n_kept, clean_text) struct expression stripping every line
+    whose md5 is in the COMMITTED blocklist — the at-ingest half of
+    CC-Net-style line dedup: the corpus-level document-frequency pass
+    (:func:`line_dedup`) runs periodically in batch and commits the
+    boilerplate line hashes; ingest then strips them with a pure scan-side
+    HOF (no shuffle, no state), so the SAME expression runs in the batch
+    twin and the streaming gate (streaming/extract.py).
+
+    ``blocklist_md5s`` is a literal array column: boilerplate lists are
+    small by construction (lines repeated across MANY docs); a list too
+    big to inline would switch to a stream-static left-anti join on
+    md5(line) — same semantics, one keyed join."""
+    lines = F.split(text_col, "\n")
+    kept = F.filter(
+        lines, lambda ln: ~F.array_contains(blocklist_md5s, F.md5(ln)))
+    return F.struct(
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"))
+
+
+def boilerplate_gate_counts(spark, sf_dir):
+    """Batch twin of the streaming at-ingest boilerplate gate
+    (streaming/extract.py ``stream_boilerplate_gate``): the planted-clutter
+    corpus of :func:`line_dedup` filtered against the committed blocklist
+    (here: the two planted boilerplate lines — exactly what the batch DF
+    pass commits on this corpus).  Narrow scan-side HOFs, whole-stage
+    codegen, one combinable rollup."""
+    d = _cluttered_docs(spark, sf_dir)
+    bl = F.array(F.md5(F.lit(LINE_BANNER)), F.md5(F.lit(LINE_FOOTER)))
+    s = boilerplate_strip_expr(F.col("text"), bl)
+    per = d.select("doc_id", s.alias("s"))
+    return (per.select(
+        "doc_id",
+        F.col("s.n_lines").alias("n_lines"),
+        F.col("s.n_kept").alias("n_kept"),
+        F.md5("s.clean_text").alias("clean_md5")))
+
+
+ORACLE_BOILERPLATE_GATE = f"""
+WITH cdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 2 THEN '{LINE_BANNER}' || chr(10)
+              ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 3 = 1 THEN chr(10) || '{LINE_FOOTER}'
+              ELSE '' END AS text
+  FROM documents),
+ln AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+         UNNEST(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM cdocs)),
+j AS (
+  SELECT doc_id, pos, line,
+         md5(line) NOT IN (md5('{LINE_BANNER}'), md5('{LINE_FOOTER}')) AS keep
+  FROM ln)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
                                ORDER BY pos), '')) AS clean_md5
 FROM j GROUP BY doc_id
@@ -905,6 +979,7 @@ QUERIES = {
     "dedup_span_fraction": span_dup_fraction,
     "dedup_span_removal": span_removal,
     "dedup_lines": line_dedup,
+    "st_boilerplate_gate": boilerplate_gate_counts,
     "dedup_incremental": incremental_dedup,
     "curation_verdict": curation_verdict,
 }
@@ -919,6 +994,7 @@ ORACLES = {
     "dedup_span_fraction": ORACLE_SPAN_FRACTION,
     "dedup_span_removal": ORACLE_SPAN_REMOVAL,
     "dedup_lines": ORACLE_LINE_DEDUP,
+    "st_boilerplate_gate": ORACLE_BOILERPLATE_GATE,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "curation_verdict": ORACLE_VERDICT,
 }

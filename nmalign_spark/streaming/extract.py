@@ -58,3 +58,29 @@ def stream_quality_gate(spark, src_dir: str,
     docs = reader.parquet(src_dir)
     return docs.where(gopher_metrics()["pass_gopher"]) \
                .select("doc_id", "lang")
+
+
+def stream_boilerplate_gate(spark, src_dir: str, blocklist_md5s: list[str],
+                            max_files_per_trigger: int | None = None):
+    """Streaming at-ingest boilerplate-line strip: incoming documents are
+    cleaned against a COMMITTED blocklist of boilerplate line hashes (the
+    corpus-level document-frequency pass — ``dedup.line_dedup`` — runs
+    periodically in batch and commits the list; ingest applies it).  The
+    strip is the SAME scan-side HOF expression as the batch twin
+    (``dedup.boilerplate_strip_expr``): stateless, no watermark, append
+    mode exact."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import boilerplate_strip_expr
+
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+    bl = F.array(*[F.lit(h) for h in blocklist_md5s])
+    s = boilerplate_strip_expr(F.col("text"), bl)
+    return docs.select(
+        "doc_id",
+        s["n_lines"].alias("n_lines"),
+        s["n_kept"].alias("n_kept"),
+        F.md5(s["clean_text"]).alias("clean_md5"))

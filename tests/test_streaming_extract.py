@@ -113,3 +113,35 @@ def test_stream_quality_gate_exactly_once_across_restarts(spark, tmp_path):
             .select("doc_id").collect()}
     assert first and first < both      # second drain added only new files
     assert both == want                # nothing lost, nothing reprocessed
+
+
+def test_stream_boilerplate_gate_equals_batch(spark, tmp_path):
+    """The streaming at-ingest boilerplate strip (committed blocklist of
+    line hashes) must produce exactly the batch twin's per-doc
+    (n_lines, n_kept, clean_md5) rows — same shared HOF expression."""
+    import hashlib
+
+    from nmalign_spark.operators import dedup as dd
+    from nmalign_spark.streaming.extract import stream_boilerplate_gate
+
+    src = tmp_path / "docs_bp"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clut = dd._cluttered_docs(spark, SF)
+    docs.drop("text").join(clut, "doc_id") \
+        .repartition(3).write.mode("overwrite").parquet(str(src))
+
+    bl = [hashlib.md5(dd.LINE_BANNER.encode()).hexdigest(),
+          hashlib.md5(dd.LINE_FOOTER.encode()).hexdigest()]
+    sdf = stream_boilerplate_gate(spark, str(src), bl,
+                                  max_files_per_trigger=1)
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("bp_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_bp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM bp_stream").collect()}
+    want = {tuple(r) for r in dd.boilerplate_gate_counts(spark, SF).collect()}
+    assert got == want
+    # the gate actually stripped something: banner/footer docs lost lines
+    assert any(r[1] > r[2] for r in got)
