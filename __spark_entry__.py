@@ -77,11 +77,11 @@ _GATE_PRIORITY = [
     "st_hourly_counts", "st_session_windows", "ev_props_extract",
     # r4-new curation operators (never driver-checked)
     "mix_domain_cap", "mix_temperature", "dedup_span_removal",
-    "st_boilerplate_gate",
+    "st_boilerplate_gate", "training_split",
     # remaining dedup / similarity / text coverage (dedup_exact,
     # dedup_simhash, dedup_simhash_pairs, dedup_incremental rotate to the
     # tail: r3-green, code untouched)
-    "sim_topk_cosine", "sim_ivf_topk", "sim_ivf_lloyd_topk",
+    "sim_ivf_topk", "sim_ivf_lloyd_topk",
     "sim_cosine_dups", "sim_cosine_dups_lsh", "emb_label_cohesion",
     "text_token_counts", "text_quality", "text_langid", "text_fingerprint",
     "text_repetition", "text_c4_filters", "dedup_lines",

