@@ -132,6 +132,8 @@ def main(sf_dir: str) -> None:
     tm = textstats.temperature_mix(spark, sf_dir).agg(
         F.sum("n_docs").alias("n"),
         F.sum("n_kept").alias("kept")).first().asDict()
+    n_split = dedup.training_split(spark, sf_dir).count()
+    n_natural = dedup.t(spark, sf_dir, "documents").count()
 
     spark.stop()
 
@@ -191,7 +193,11 @@ def main(sf_dir: str) -> None:
            f"{textstats.DOMAIN_CAP_K}, the long under-cap tail untouched.",
            f"- `mix_temperature`: {tm['kept']}/{tm['n']} docs kept at "
            "alpha=0.5 (smallest language keeps 100%, larger ones "
-           "downsampled by sqrt(n_min/n))."]
+           "downsampled by sqrt(n_min/n)).",
+           f"- `training_split` (the composed endpoint): "
+           f"{n_split}/{n_natural} natural docs survive "
+           "verdict → domain cap → temperature with each stage "
+           "parameterized on its own input (hash-gated end to end)."]
     (REPO / "QUALITY.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
 
