@@ -29,7 +29,8 @@ from .relational import fan_out, sliding_ngrams, t
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
            "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
            "span_dup_fraction", "span_removal", "line_dedup",
-           "ORACLES", "QUERIES"]
+           "boilerplate_strip_expr", "boilerplate_gate_counts",
+           "training_split", "ORACLES", "QUERIES"]
 
 SHINGLE_K = 5          # words per shingle
 STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
