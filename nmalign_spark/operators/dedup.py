@@ -990,7 +990,14 @@ def training_split(spark, sf_dir):
     partition by (lang, host-bucket)."""
     from .textstats import DOMAIN_CAP_K, _N_HOSTS
 
-    kept = curation_verdict(spark, sf_dir).where("keep").select("doc_id")
+    # The kept-id manifest is consumed by THREE downstream branches (host
+    # counts, language counts + global min, final join); without a
+    # materialization each branch re-executes the whole verdict stack
+    # (~3x the verdict cost, measured at sf0.1).  The manifest is a
+    # 1-column id list — tiny relative to the corpus — so cache() is the
+    # honest production shape (a real pipeline writes it to a table here).
+    kept = (curation_verdict(spark, sf_dir).where("keep")
+            .select("doc_id").cache())
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     base = docs.join(kept, "doc_id")
     host_id = F.when(F.col("doc_id") % 4 == 0, F.lit(0)) \
