@@ -451,11 +451,21 @@ def duplicate_components(spark, sf_dir, max_iters: int = CC_MAX_ITERS):
     inside the (now configurable) ``max_iters`` cap; non-convergence still
     fails loudly rather than silently truncating.
     """
-    aug = augmented_docs(spark, sf_dir)
+    return duplicate_components_df(augmented_docs(spark, sf_dir),
+                                   max_iters=max_iters)
+
+
+def duplicate_components_df(aug, max_iters: int = CC_MAX_ITERS):
+    """df-parameterized core of :func:`duplicate_components` — same plan
+    over any (doc_id, text) DataFrame (used by plans/curation.py)."""
     groups = _shingle_groups(aug).cache()
     near = _jaccard_from_groups(groups).select("id1", "id2")
-    exact = exact_duplicates(spark, sf_dir) \
-        .select(F.col("keep_id").alias("id1"), F.col("dup_id").alias("id2"))
+    h = aug.select("doc_id", F.md5("text").alias("h"))
+    w = Window.partitionBy("h")
+    exact = (h.withColumn("keep_id", F.min("doc_id").over(w))
+             .where(F.col("doc_id") != F.col("keep_id"))
+             .select(F.col("keep_id").alias("id1"),
+                     F.col("doc_id").alias("id2")))
     edges = near.unionByName(exact)
     edges_sym = edges.unionByName(
         edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))) \
@@ -518,7 +528,13 @@ def span_dup_fraction(spark, sf_dir):
     case, split at runtime; the per-doc roll-up is the final keyed agg.
     No collect_list of unbounded posting lists anywhere, so a 1M-doc
     stop shingle costs a skewed join partition, not a giant row."""
-    sh = _shingles(augmented_docs(spark, sf_dir))
+    return span_dup_fraction_df(augmented_docs(spark, sf_dir))
+
+
+def span_dup_fraction_df(aug):
+    """df-parameterized core of :func:`span_dup_fraction` (used by
+    plans/curation.py)."""
+    sh = _shingles(aug)
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (sh.join(dfc, "shingle")
             .groupBy("doc_id")
@@ -872,9 +888,38 @@ def curation_verdict(spark, sf_dir):
     joins on doc_id — co-keyed, AQE-planned.  Reasons stay one column per
     rule (not a packed bitmap) so the drop-rate per rule is one
     aggregation away."""
-    from .textstats import DECON_BENCH_MOD, DECON_N, gopher_metrics
+    from .textstats import DECON_BENCH_MOD
 
-    aug = augmented_docs(spark, sf_dir)
+    is_bench = ((F.col("doc_id") % DECON_BENCH_MOD == 0)
+                & (F.col("doc_id") < 100000))
+    return curation_verdict_df(augmented_docs(spark, sf_dir),
+                               is_bench=is_bench)
+
+
+def benchmark_gram_hashes(bench_df):
+    """Distinct md5'd word-``DECON_N``-grams of a benchmark text table —
+    the broadcast side of the decontamination tier (same construction as
+    textstats.decontaminate_flags)."""
+    from .textstats import DECON_N
+    grams = F.transform(sliding_ngrams(F.split("text", " "), DECON_N),
+                        lambda g: F.md5(g))
+    return bench_df.select(
+        F.explode(F.array_distinct(grams)).alias("h")).distinct()
+
+
+def curation_verdict_df(aug, bench_hashes=None, is_bench=None,
+                        max_iters: int = CC_MAX_ITERS):
+    """df-parameterized core of :func:`curation_verdict` over any
+    (doc_id, text) DataFrame (used by plans/curation.py).
+
+    Decontamination side: pass ``is_bench`` (a Column predicate marking
+    benchmark rows INSIDE ``aug`` — the fixture's construction, benchmark
+    docs excluded from contamination flags) OR ``bench_hashes`` (a
+    pre-built gram-hash table from :func:`benchmark_gram_hashes` — the
+    production shape, the benchmark set lives outside the corpus).  With
+    neither, the tier is off and ``is_contaminated`` is constant false."""
+    from .textstats import DECON_N, gopher_metrics
+
     base = aug.select("doc_id", "text",
                       gopher_metrics()["pass_gopher"].alias("pass_gopher"))
     w = Window.partitionBy(F.md5("text"))
@@ -882,24 +927,26 @@ def curation_verdict(spark, sf_dir):
         "doc_id", "pass_gopher",
         (F.count(F.lit(1)).over(w) > 1).alias("in_dup_group"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_exact_dup"))
-    span = span_dup_fraction(spark, sf_dir).select("doc_id", "dup_frac")
-    comp = duplicate_components(spark, sf_dir).select(
+    span = span_dup_fraction_df(aug).select("doc_id", "dup_frac")
+    comp = duplicate_components_df(aug, max_iters=max_iters).select(
         "doc_id",
         (F.col("component_id") != F.col("doc_id")).alias("is_near_dup"))
-    grams = F.transform(sliding_ngrams(F.split("text", " "), DECON_N),
-                        lambda g: F.md5(g))
-    exploded = aug.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("h"))
-    is_bench = ((F.col("doc_id") % DECON_BENCH_MOD == 0)
-                & (F.col("doc_id") < 100000))
-    bench = exploded.where(is_bench).select("h").distinct()
-    contam = (exploded.where(~is_bench)
-              .join(F.broadcast(bench), "h", "left_semi")
-              .select("doc_id").distinct()
-              .withColumn("is_contaminated", F.lit(True)))
-    v = (flagged.join(span, "doc_id").join(comp, "doc_id")
-         .join(contam, "doc_id", "left")
-         .na.fill({"is_contaminated": False}))
+    v = flagged.join(span, "doc_id").join(comp, "doc_id")
+    if is_bench is not None or bench_hashes is not None:
+        grams = F.transform(sliding_ngrams(F.split("text", " "), DECON_N),
+                            lambda g: F.md5(g))
+        exploded = aug.select(
+            "doc_id", F.explode(F.array_distinct(grams)).alias("h"))
+        if is_bench is not None:
+            bench_hashes = exploded.where(is_bench).select("h").distinct()
+            exploded = exploded.where(~is_bench)
+        contam = (exploded.join(F.broadcast(bench_hashes), "h", "left_semi")
+                  .select("doc_id").distinct()
+                  .withColumn("is_contaminated", F.lit(True)))
+        v = (v.join(contam, "doc_id", "left")
+             .na.fill({"is_contaminated": False}))
+    else:
+        v = v.withColumn("is_contaminated", F.lit(False))
     high_span = (~F.col("in_dup_group")) & (F.col("dup_frac") >= VERDICT_SPAN_MAX)
     return v.select(
         "doc_id", "pass_gopher", "is_exact_dup", "is_near_dup",

@@ -1,0 +1,79 @@
+"""CurationPipeline: resumable, lineage-tracked clean-corpus writes with
+at-ingest incremental dedup against the committed hash index."""
+
+import pyspark.sql.functions as F
+
+from nmalign_spark.plans.curation import CurationPipeline
+
+
+def _docs(spark, sf_small):
+    return (spark.read.parquet(f"{sf_small}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+
+
+def test_first_run_writes_partitioned_corpus_and_lineage(spark, sf_small,
+                                                         tmp_path):
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, sf_small)
+    stats = CurationPipeline(out).run(spark, docs)
+    assert stats["n_in"] == docs.count()
+    assert stats["n_resumed"] == 0 and stats["n_committed_dup"] == 0
+    assert 0 < stats["n_kept"] < stats["n_in"]
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == stats["n_kept"]
+    # partition layout: lang + doc_id-hash bucket (prunable scan)
+    assert {"lang", "bucket"} <= set(corpus.columns)
+    assert corpus.select("bucket").distinct().count() > 1
+    rules = spark.read.parquet(f"{out}/_rules").collect()[0]
+    assert rules["n_judged"] == stats["n_in"]
+    assert rules["n_dropped"] == stats["n_in"] - stats["n_kept"]
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    assert lineage.agg(F.sum("n_kept")).first()[0] == stats["n_kept"]
+
+
+def test_resume_skips_committed_docs(spark, sf_small, tmp_path):
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, sf_small)
+    first = CurationPipeline(out).run(spark, docs)
+    again = CurationPipeline(out).run(spark, docs)
+    # every kept doc resumes; the previously DROPPED docs are re-judged
+    # (they are not in the corpus) and dropped again -> nothing new lands
+    assert again["n_resumed"] == first["n_kept"]
+    assert again["n_kept"] == 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == first["n_kept"]
+
+
+def test_committed_hash_index_drops_recrawled_text(spark, sf_small,
+                                                   tmp_path):
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, sf_small)
+    first = CurationPipeline(out).run(spark, docs)
+    # second batch: same texts under NEW doc_ids (a re-crawl) — the
+    # committed hash index must drop every one whose text is already in
+    # the corpus, before the verdict even runs
+    recrawl = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                          "text", "lang")
+    stats = CurationPipeline(out).run(spark, recrawl)
+    assert stats["n_resumed"] == 0                  # ids are new
+    assert stats["n_committed_dup"] == first["n_kept"]
+    # the texts that were DROPPED in run 1 are not in the corpus, so the
+    # re-crawl judges them again and drops them again
+    assert stats["n_kept"] == 0
+
+
+def test_decontamination_tier_via_bench_df(spark, sf_small, tmp_path):
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, sf_small)
+    # benchmark set = one kept-quality doc's text; its exact twin in the
+    # corpus must be dropped as contaminated
+    base = CurationPipeline(str(tmp_path / "base")).run(spark, docs)
+    kept_ids = [r.doc_id for r in
+                spark.read.parquet(f"{tmp_path}/base/corpus")
+                .select("doc_id").limit(1).collect()]
+    bench = docs.where(F.col("doc_id") == kept_ids[0]).select("text")
+    stats = CurationPipeline(out, bench_df=bench).run(spark, docs)
+    assert stats["n_kept"] == base["n_kept"] - 1
+    rules = spark.read.parquet(f"{out}/_rules").collect()[0]
+    assert rules["n_contaminated"] >= 1
