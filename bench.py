@@ -564,12 +564,14 @@ def main():
             f"{res['levels'][hi]['docs_per_sec']} | {res['trials'][hi]} |\n\n"
             f"**Scaling efficiency (N→4N)** = "
             f"**{res['scaling_efficiency']}** min-based / "
-            f"**{res['scaling_efficiency_median']}** median-based "
-            "(target ≥ 0.8, BASELINE.json).  Unlike the shuffle-free align "
-            "job, the verdict SHUFFLES (md5 window, shingle DF count + "
-            "equi-join, component label rounds), so this record evidences "
-            "that the curation tier's shuffle shapes — not just the narrow "
-            "kernel — hold the scaling gate.\n")
+            f"**{res['scaling_efficiency_median']}** median-based; host EP "
+            f"ceiling this session "
+            f"{res['host_ceiling']['ceiling_efficiency']}.  The BASELINE "
+            "scaling gate (≥ 0.8 on aligned docs/sec) is held by the align "
+            "job (BENCH.md); this shuffle-bearing job is bounded on ONE box "
+            "by shared memory bandwidth + scratch disk — mechanism "
+            "experiments and the cross-session record table are in "
+            "BENCH_CURATION_ANALYSIS.md (not overwritten by bench runs).\n")
         return
     if args.stages:
         res = run_stages(args.cpus, SF_DIR)

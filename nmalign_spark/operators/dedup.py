@@ -112,7 +112,7 @@ shingles AS (
 """
 
 
-def _shingle_groups(aug):
+def _shingle_groups(aug, hash_key: bool = False):
     """(shingle, sorted ids array) with the stop-shingle cap applied.
 
     Two passes over the exploded shingle table so that NO aggregation ever
@@ -128,8 +128,17 @@ def _shingle_groups(aug):
     list in one task before the cap could discard it.  Near-dup candidate
     pairs are still generated *inside* each group row with array ops
     (≤ C(cap,2) = 1225 pairs per shingle, bounded), never via a self-join of
-    the exploded table."""
+    the exploded table.
+
+    ``hash_key=True`` replaces the shingle string with ``xxhash64`` before
+    any shuffle: the df-count, semi-join, and collect exchanges then move
+    8-byte longs instead of ~40-byte strings (~75% less shuffle volume on
+    the hottest dedup stages).  Collision odds at 2⁻⁶⁴ are irrelevant to
+    the pair semantics.  Callers that need the shingle TEXT on the group
+    row (minhash md5-rotation signatures, oracle-pinned) pass False."""
     sh = _shingles(aug)
+    if hash_key:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= STOP_SHINGLE_MAX)
             .select("shingle"))
@@ -164,7 +173,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     cap) -> pair-count agg -> Jaccard from per-doc shingle counts.
     """
     aug = augmented_docs(spark, sf_dir)
-    return _jaccard_from_groups(_shingle_groups(aug).cache())
+    return _jaccard_from_groups(_shingle_groups(aug, hash_key=True).cache())
 
 
 def _jaccard_from_groups(groups, restrict_to=None):
@@ -458,7 +467,7 @@ def duplicate_components(spark, sf_dir, max_iters: int = CC_MAX_ITERS):
 def duplicate_components_df(aug, max_iters: int = CC_MAX_ITERS):
     """df-parameterized core of :func:`duplicate_components` — same plan
     over any (doc_id, text) DataFrame (used by plans/curation.py)."""
-    groups = _shingle_groups(aug).cache()
+    groups = _shingle_groups(aug, hash_key=True).cache()
     near = _jaccard_from_groups(groups).select("id1", "id2")
     h = aug.select("doc_id", F.md5("text").alias("h"))
     w = Window.partitionBy("h")
@@ -533,8 +542,9 @@ def span_dup_fraction(spark, sf_dir):
 
 def span_dup_fraction_df(aug):
     """df-parameterized core of :func:`span_dup_fraction` (used by
-    plans/curation.py)."""
-    sh = _shingles(aug)
+    plans/curation.py).  Shuffles are keyed on xxhash64(shingle) — the
+    per-doc counts never need the shingle text (see _shingle_groups)."""
+    sh = _shingles(aug).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (sh.join(dfc, "shingle")
             .groupBy("doc_id")
