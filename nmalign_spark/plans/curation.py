@@ -35,6 +35,7 @@ from __future__ import annotations
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 from ..operators.dedup import benchmark_gram_hashes, curation_verdict_df
@@ -52,10 +53,19 @@ class CurationPipeline:
     # -- helpers ------------------------------------------------------------
 
     def _read(self, spark, subdir: str):
+        """Read a committed side table; None ONLY when it doesn't exist yet.
+
+        Any other failure (corrupt partition, permission, transient FS
+        error) re-raises: treating it as "first run" would skip the resume
+        anti-join and re-append the whole batch — silent duplication in a
+        pipeline whose contract is idempotent resume."""
         try:
             return spark.read.parquet(f"{self.output_dir}/{subdir}")
-        except Exception:
-            return None
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     def _write(self, df, subdir: str, partition_cols=()):
         w = df.write.mode("append")
@@ -86,8 +96,21 @@ class CurationPipeline:
 
         # incremental exact dedup vs the committed hash index: a document
         # whose text already lives in the corpus is dropped pre-verdict
-        # (one keyed left-anti join on md5 — hash-pruned, AQE-planned)
+        # (one keyed left-anti join on md5 — hash-pruned, AQE-planned).
+        # The index is DERIVED state: the corpus is the source of truth,
+        # so before trusting it, self-heal any corpus run_id whose hash
+        # rows are missing (a crash between the corpus commit and the
+        # index append).  The probe is column-pruned (run_id only) — a
+        # metadata-cheap scan, not a corpus re-read.
         hashes = self._read(spark, "_hashes")
+        if committed is not None:
+            missing = committed if hashes is None else committed.join(
+                hashes.select("run_id").distinct(), "run_id", "left_anti")
+            repair = missing.select(
+                "doc_id", F.md5("text").alias("h"), "run_id")
+            if not repair.isEmpty():
+                self._write(repair, "_hashes")
+                hashes = self._read(spark, "_hashes")
         n_committed_dup = 0
         if hashes is not None:
             n_before = docs.count()
@@ -112,8 +135,10 @@ class CurationPipeline:
                     .where(F.col("run_id") == run_id))
         n_kept = this_run.count()
         # commit the hash index from the read-back (one columnar scan,
-        # append-only — the next run's at-ingest dedup side)
-        self._write(this_run.select("doc_id", F.md5("text").alias("h")),
+        # append-only, keyed by run_id so a missed append is detectable
+        # and rebuilt by the next run's self-heal above)
+        self._write(this_run.select("doc_id", F.md5("text").alias("h"),
+                                    "run_id"),
                     "_hashes")
         # lineage: kept counts per partition + per-rule drop tallies
         part = (this_run.groupBy("lang", "bucket")

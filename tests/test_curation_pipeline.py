@@ -63,6 +63,45 @@ def test_committed_hash_index_drops_recrawled_text(spark, sf_small,
     assert stats["n_kept"] == 0
 
 
+def test_hash_index_self_heals_after_partial_commit(spark, sf_small,
+                                                    tmp_path):
+    """Crash between the corpus commit and the _hashes append: the next
+    run must rebuild the missing index rows from the corpus itself, so a
+    re-crawl of that run's texts is still dropped at ingest."""
+    import shutil
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, sf_small)
+    first = CurationPipeline(out).run(spark, docs)
+    # simulate the crash: the corpus run committed but its index append
+    # was lost entirely
+    shutil.rmtree(f"{out}/_hashes")
+    recrawl = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                          "text", "lang")
+    stats = CurationPipeline(out).run(spark, recrawl)
+    assert stats["n_committed_dup"] == first["n_kept"]
+    assert stats["n_kept"] == 0
+    # and the rebuilt index now covers the first run
+    hashes = spark.read.parquet(f"{out}/_hashes")
+    assert hashes.where(F.col("run_id") == first["run_id"]).count() \
+        == first["n_kept"]
+
+
+def test_read_failure_is_not_first_run(spark, sf_small, tmp_path):
+    """A corrupt committed table must abort the run, not silently skip
+    the resume anti-join and duplicate the corpus."""
+    import pytest
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, sf_small)
+    CurationPipeline(out).run(spark, docs)
+    # corrupt the corpus: a parquet file whose footer is garbage
+    part = tmp_path / "cur" / "corpus" / "lang=xx" / "bucket=0"
+    part.mkdir(parents=True)
+    (part / "part-corrupt.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as exc:
+        CurationPipeline(out).run(spark, docs)
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
 def test_decontamination_tier_via_bench_df(spark, sf_small, tmp_path):
     out = str(tmp_path / "cur")
     docs = _docs(spark, sf_small)
