@@ -35,7 +35,38 @@ __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
 SHINGLE_K = 5          # words per shingle
 STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
 JACCARD_MIN = 0.12     # near-dup verification threshold
-MINHASH_K = 16         # signature length; 16 bands x 1 row (high recall)
+
+# MinHash signature: one band per affine mix (a*h1 + b*h2 + c) mod MIX_P of
+# the two 28-bit md5-derived halves of each shingle — a 2-universal family.
+# Every product stays < 2^59 and the sum < 2^61, so the arithmetic is exact
+# signed-64-bit in BOTH engines (DuckDB bigint overflow *throws*; Spark
+# wraps — neither happens).  32 truly-independent bands are needed where the
+# old 16 correlated md5-rotations sat, because recall for a pair at Jaccard
+# j is 1-(1-j)^K: at the planted-near-dup j~0.16, K=32 gives 0.996 (K=16
+# only 0.94).  Extra bands only ADD candidates and every candidate is
+# exact-verified, so precision stays 1.0 by construction.  The triples are
+# fixed literals (seeded once, offline) so Spark and the DuckDB oracle mix
+# identically.
+MIX_P = 2147483647     # 2^31 - 1
+MINHASH_MIXES = [
+    (717395972, 227487307, 1317400626), (962475872, 1929947870, 490618751),
+    (462240092, 1284645891, 1090413248), (1431529136, 654862387, 1421535055),
+    (1312774056, 1680807097, 1057614983), (1817001456, 1535836188, 1646208546),
+    (744079161, 1331840080, 1668092631), (501261842, 1205741253, 593391866),
+    (536835373, 1333968182, 223266992), (1939989308, 16884942, 1507214981),
+    (572961412, 952484497, 2018947290), (238894631, 1519938847, 214853840),
+    (1735374080, 359876977, 2066700137), (924564047, 1616274143, 2039551486),
+    (447338296, 1521965085, 1294810732), (1003592888, 1976015157, 1381757532),
+    (456734525, 1316604185, 887045627), (1017798508, 1439752872, 13403355),
+    (494141925, 1415383314, 456018594), (59986149, 489290041, 402463332),
+    (881224031, 1727121848, 50436714), (1971699573, 1913778879, 708684055),
+    (494048336, 992615490, 640597677), (1110656761, 1543693694, 1136739902),
+    (69115121, 2085371933, 1258455019), (1341578369, 202912569, 1449657543),
+    (1583937633, 1647552085, 496155237), (255442419, 1019696101, 1835276603),
+    (1797244303, 2051270256, 996033225), (1788833759, 486240460, 1494685296),
+    (1973106613, 429694468, 1671185418), (1640861950, 814800049, 1303717211),
+]
+MINHASH_K = len(MINHASH_MIXES)
 
 
 def augmented_docs(spark, sf_dir):
@@ -112,7 +143,7 @@ shingles AS (
 """
 
 
-def _shingle_groups(aug, hash_key: bool = False):
+def _shingle_groups(aug, hash_key: bool = False, carry_minhash: bool = False):
     """(shingle, sorted ids array) with the stop-shingle cap applied.
 
     Two passes over the exploded shingle table so that NO aggregation ever
@@ -134,17 +165,33 @@ def _shingle_groups(aug, hash_key: bool = False):
     any shuffle: the df-count, semi-join, and collect exchanges then move
     8-byte longs instead of ~40-byte strings (~75% less shuffle volume on
     the hottest dedup stages).  Collision odds at 2⁻⁶⁴ are irrelevant to
-    the pair semantics.  Callers that need the shingle TEXT on the group
-    row (minhash md5-rotation signatures, oracle-pinned) pass False."""
+    the pair semantics.
+
+    ``carry_minhash=True`` additionally projects the two 28-bit halves of
+    ``md5(shingle)`` scan-side (``h1``/``h2``, the inputs of the
+    MINHASH_MIXES affine family) and carries them onto the group row with
+    ``first()`` — they are per-shingle constants.  The md5 is evaluated in
+    the scan-stage projection, so the shingle TEXT never reaches a
+    shuffle on any path; Catalyst prunes the h1/h2 projection out of the
+    df-count branch, which reads only the key."""
     sh = _shingles(aug)
-    if hash_key:
-        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    extra_cols, extra_aggs = [], []
+    if carry_minhash:
+        extra_cols = [
+            F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+            .cast("long").alias("h1"),
+            F.conv(F.substring(F.md5("shingle"), 8, 7), 16, 10)
+            .cast("long").alias("h2")]
+        extra_aggs = [F.first("h1").alias("h1"), F.first("h2").alias("h2")]
+    key = F.xxhash64("shingle") if hash_key else F.col("shingle")
+    sh = sh.select("doc_id", key.alias("shingle"), *extra_cols)
     keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= STOP_SHINGLE_MAX)
             .select("shingle"))
     return (sh.join(keep, "shingle", "left_semi")
             .groupBy("shingle")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids")))
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"),
+                 *extra_aggs))
 
 
 def _filtered_shingles(groups):
@@ -226,35 +273,32 @@ WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_MIN}
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_lsh_pairs(spark, sf_dir):
-    """LSH candidates (1-row bands over a K=16 minhash signature), verified
-    with true Jaccard.
+    """LSH candidates (1-row bands over a K=32 integer minhash signature),
+    verified with true Jaccard.
 
-    The k-th hash of a shingle is its md5 hex *rotated by 2k characters* —
-    one md5 per shingle total (the expensive part), K cheap string rotations
-    deriving the band orders.  Each rotation is a consistent uniform-ish
-    total order (the leading characters for band k are md5 bytes k..),
-    so Pr[minhash_k(A)=minhash_k(B)] ≈ Jaccard per band; bands are only
-    approximately independent, which costs a little recall — acceptable
-    because every candidate is verified with exact Jaccard.  (On a real
-    cluster, swap in ``xxhash64`` + K affine integer mixes; md5-rotation is
-    used here because it is bit-identical in DuckDB for the oracle.)
+    Every shingle is reduced to integers IN THE SCAN STAGE — the xxhash64
+    group key plus the two 28-bit md5 halves (h1, h2) — so no shuffle on
+    any stage of this query moves shingle text (8–24-byte long rows where
+    r4 moved ~40-byte strings; the df-count/semi-join/collect exchanges
+    are the engine's hottest).  The k-th band value of a shingle is the
+    affine integer mix (a_k*h1 + b_k*h2 + c_k) mod MIX_P — K multiply-adds
+    replacing r4's K 32-char string rotations, and the per-doc band minima
+    aggregate over longs instead of strings (map-side combinable, a
+    fraction of the comparator and allocation cost).  The mix arithmetic
+    is bit-identical in DuckDB (hex-cast + bigint ops), so the oracle
+    remains an exact twin.
 
-    The filtered-shingle table is computed ONCE and cached — it feeds both
-    the signature stage and the Jaccard verification, saving the window
-    re-aggregation over the exploded shingles.
+    The capped group table is computed ONCE and cached — it feeds both the
+    signature stage and the exact-Jaccard verification of the candidates.
     """
     aug = augmented_docs(spark, sf_dir)
-    groups = _shingle_groups(aug).cache()
-    # md5 ONCE per distinct shingle (on the group row, before the explode) —
-    # not once per (doc, shingle) occurrence
-    sh = groups.withColumn("h", F.md5("shingle")) \
-        .select(F.explode("ids").alias("doc_id"), "h")
+    groups = _shingle_groups(aug, hash_key=True, carry_minhash=True).cache()
+    sh = groups.select(F.explode("ids").alias("doc_id"), "h1", "h2")
     # all K band minima in ONE wide aggregation (map-side partial combine,
     # no K-fold row explode through the shuffle), then unpivot to long form
-    rots = [F.min(F.expr(
-        f"concat(substr(h, {2 * k + 1}, {32 - 2 * k}), substr(h, 1, {2 * k}))"
-    )).alias(f"m{k}") for k in range(MINHASH_K)]
-    sigw = sh.groupBy("doc_id").agg(*rots)
+    mins = [F.min((F.col("h1") * a + F.col("h2") * b + c) % MIX_P)
+            .alias(f"m{k}") for k, (a, b, c) in enumerate(MINHASH_MIXES)]
+    sigw = sh.groupBy("doc_id").agg(*mins)
     sig = sigw.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"m{k}") for k in range(MINHASH_K)]))
@@ -269,13 +313,19 @@ def minhash_lsh_pairs(spark, sf_dir):
     return _jaccard_from_groups(groups, restrict_to=cand)
 
 
+_MIX_ROWS = ", ".join(f"({k}, {a}, {b}, {c})"
+                      for k, (a, b, c) in enumerate(MINHASH_MIXES))
+
 ORACLE_MINHASH = f"""
 WITH {AUG_SQL}, {FILTERED_SQL},
+halves AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 8, 7))::BIGINT AS h2
+  FROM filtered),
 sig AS (
-  SELECT doc_id, k,
-         MIN(substr(md5(shingle), 2*k + 1, 32 - 2*k) ||
-             substr(md5(shingle), 1, 2*k)) AS minhash
-  FROM filtered, UNNEST(range(0, {MINHASH_K})) AS kk(k)
+  SELECT doc_id, k, MIN((h1 * a + h2 * b + c) % {MIX_P}) AS minhash
+  FROM halves, (VALUES {_MIX_ROWS}) AS mix(k, a, b, c)
   GROUP BY doc_id, k),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

@@ -36,7 +36,8 @@ def main(sf_dir: str) -> None:
         "dedup_minhash_lsh vs dedup_ngram_jaccard",
         f"{len(lsh_pairs)}/{len(exact_pairs)}",
         len(lsh_pairs) / len(exact_pairs) if exact_pairs else 1.0,
-        f"K={dedup.MINHASH_K} one-row bands over md5-rotation minhashes; "
+        f"K={dedup.MINHASH_K} one-row bands over affine integer mixes of "
+        f"the md5 halves (MIX_P=2^31-1); "
         f"precision 1.0 (every candidate exact-verified at "
         f"J>={dedup.JACCARD_MIN})"))
 

@@ -125,3 +125,17 @@ def test_curation_verdict_consistency(spark, sf_small):
                       and (did - 200000) % DECON_BENCH_MOD == 0]
     assert planted_contam
     assert all(rows[d].is_contaminated for d in planted_contam)
+
+
+def test_minhash_recall_vs_exact_twin(spark, sf_small):
+    """K=32 independent affine bands must keep recall >= 0.97 vs the exact
+    shingle-Jaccard twin (QUALITY.md row; r4's 16 correlated md5-rotations
+    measured 0.976 — the integer mixes must not regress it), with
+    precision 1.0 by construction (every candidate exact-verified)."""
+    from nmalign_spark.operators import dedup
+    exact = {(r.id1, r.id2) for r in
+             dedup.ngram_jaccard_pairs(spark, sf_small).collect()}
+    lsh = {(r.id1, r.id2) for r in
+           dedup.minhash_lsh_pairs(spark, sf_small).collect()}
+    assert lsh <= exact                      # precision 1.0
+    assert len(lsh) / len(exact) >= 0.97     # recall

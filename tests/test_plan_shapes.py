@@ -42,6 +42,21 @@ def test_minhash_has_no_cartesian_product(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_never_shuffles_shingle_text(spark, sf_small):
+    """r5 invariant (VERDICT r4 #1): the minhash path reduces every shingle
+    to integers (xxhash64 key + md5-half h1/h2) in the SCAN stage, so no
+    Exchange moves shingle strings — a `shingle` partition key in any
+    exchange must be a Long attribute (`#nnnL`), never the raw string."""
+    import re
+    plan = _plan(dedup.minhash_lsh_pairs(spark, sf_small))
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        for attr in re.findall(r"shingle#\d+(L?)", part):
+            assert attr == "L", f"string shingle key in exchange: {part}"
+    # and the affine mixes replaced the md5-rotation string minima: the
+    # per-doc signature aggregate takes min() of longs, not strings
+    assert "concat(substr(" not in plan
+
+
 def test_lsh_topk_probe_join_is_hash_join(spark, sf_small):
     """The 37-mask probe fan-out must stay a broadcast of the tiny mask
     table; the probe->bucket candidate join must be a hash equi-join

@@ -92,3 +92,17 @@ def test_gate_window_integrity():
     assert len(prio) == len(set(prio))
     missing = [k for k in prio if k not in qs]
     assert not missing, f"gate-priority keys not registered: {missing}"
+    # rotation policy (comment above _GATE_PRIORITY): every registered key
+    # the PREVIOUS round's driver window missed must be inside this
+    # round's first-50 window, so each key is driver-certified at least
+    # every two consecutive rounds
+    import json
+    from pathlib import Path
+    prev = Path(entry_mod._REPO) / "CORRECTNESS_r04.json"
+    if prev.exists():
+        checked = set(json.loads(prev.read_text()))
+        unsampled = [k for k in qs if k not in checked]
+        out_of_window = [k for k in unsampled if k not in window]
+        assert not out_of_window, (
+            f"keys missed by the previous driver window are not "
+            f"front-loaded: {out_of_window}")
