@@ -68,7 +68,7 @@ _GATE_PRIORITY = [
     # table-backed training_split, langid profile upgrade
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",
     "dedup_span_fraction", "curation_verdict", "training_split",
-    "text_langid",
+    "text_langid", "curation_compaction",
     # (2) the 32 keys the r4 driver window did not sample (all re-verified
     # locally in r4 via tests/driver_gate_sim.py; listed by family)
     "s1_inline_source", "s2_files_source", "s3_filelist_source",
@@ -90,7 +90,6 @@ _GATE_PRIORITY = [
     "u1_align_pages", "u1_align_segments", "u1_align_salted", "u1_align_noisy",
     "u1_align_identity", "a4_assemble_pages", "a5_unmatched_lines",
     "k3_page_metrics", "k3_corpus_metrics", "dom_main_content",
-    "text_decontaminate",
 ]
 
 

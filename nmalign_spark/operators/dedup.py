@@ -127,6 +127,31 @@ SELECT doc_id AS dup_id, keep_id FROM keep WHERE doc_id != keep_id
 
 # --- shingles (shared by jaccard / minhash) ---------------------------------
 
+# Internal caches created by the query builders (shingle groups, edge
+# lists).  They are correctness-neutral reuse hints, but a long-lived
+# session invoking the builders repeatedly would accumulate executor
+# storage (ADVICE r4) — so every internal cache() is tracked here and
+# callers that own a session release them with unpersist_caches() once
+# the returned plan is materialized (CurationPipeline.run does; bench.py
+# uses a fresh JVM per trial).
+_LIVE_CACHES: list = []
+
+
+def _track_cache(df):
+    _LIVE_CACHES.append(df.cache())
+    return df
+
+
+def unpersist_caches() -> int:
+    """Release every internal cache created since the last call; returns
+    how many were released."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
 def _shingles(aug):
     # sliding_ngrams keeps split(text) at O(K) evaluations per row — the
     # closure form re-tokenized per window (O(n²)/doc, see relational.py)
@@ -220,7 +245,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
     cap) -> pair-count agg -> Jaccard from per-doc shingle counts.
     """
     aug = augmented_docs(spark, sf_dir)
-    return _jaccard_from_groups(_shingle_groups(aug, hash_key=True).cache())
+    return _jaccard_from_groups(
+        _track_cache(_shingle_groups(aug, hash_key=True)))
 
 
 def _jaccard_from_groups(groups, restrict_to=None):
@@ -292,7 +318,8 @@ def minhash_lsh_pairs(spark, sf_dir):
     signature stage and the exact-Jaccard verification of the candidates.
     """
     aug = augmented_docs(spark, sf_dir)
-    groups = _shingle_groups(aug, hash_key=True, carry_minhash=True).cache()
+    groups = _track_cache(
+        _shingle_groups(aug, hash_key=True, carry_minhash=True))
     sh = groups.select(F.explode("ids").alias("doc_id"), "h1", "h2")
     # all K band minima in ONE wide aggregation (map-side partial combine,
     # no K-fold row explode through the shuffle), then unpivot to long form
@@ -517,7 +544,7 @@ def duplicate_components(spark, sf_dir, max_iters: int = CC_MAX_ITERS):
 def duplicate_components_df(aug, max_iters: int = CC_MAX_ITERS):
     """df-parameterized core of :func:`duplicate_components` — same plan
     over any (doc_id, text) DataFrame (used by plans/curation.py)."""
-    groups = _shingle_groups(aug, hash_key=True).cache()
+    groups = _track_cache(_shingle_groups(aug, hash_key=True))
     near = _jaccard_from_groups(groups).select("id1", "id2")
     h = aug.select("doc_id", F.md5("text").alias("h"))
     w = Window.partitionBy("h")
@@ -528,7 +555,8 @@ def duplicate_components_df(aug, max_iters: int = CC_MAX_ITERS):
     edges = near.unionByName(exact)
     edges_sym = edges.unionByName(
         edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))) \
-        .distinct().cache()
+        .distinct()
+    edges_sym = _track_cache(edges_sym)
     labels = aug.select(F.col("doc_id").alias("id"),
                         F.col("doc_id").alias("label"))
     labels = _min_label_components(labels, edges_sym, max_iters=max_iters)
@@ -567,6 +595,70 @@ ORACLE_COMPONENTS = f"""
 WITH RECURSIVE {AUG_SQL.strip().lstrip()}, {FILTERED_SQL.strip()},
 {_COMPONENT_CTES}
 SELECT doc_id, component_id FROM comp
+"""
+
+
+# --- cross-snapshot near-dup compaction --------------------------------------
+
+def compaction_demotions_df(corpus, max_iters: int = CC_MAX_ITERS):
+    """Docs a periodic compaction pass removes from a committed corpus:
+    every member of an exact/near-dup component whose canonical
+    (min-doc_id) representative is another document.
+
+    This is the cross-snapshot closure the at-ingest tiers cannot see:
+    ingest dedup is exact-only across runs (md5 index) and near-dup
+    detection is batch-local (plans/curation.py), so a near-duplicate of
+    a PREVIOUS run's kept doc lands in the corpus and stays there until
+    compaction closes the component graph over the whole corpus.
+    Canonicality by min doc_id keeps the pass idempotent; a production
+    corpus would order by (crawl_ts, doc_id) — same plan, different sort
+    key.  Returns (doc_id, canonical_id)."""
+    comp = duplicate_components_df(corpus.select("doc_id", "text"),
+                                   max_iters=max_iters)
+    return (comp.where(F.col("component_id") != F.col("doc_id"))
+            .select("doc_id", F.col("component_id").alias("canonical_id")))
+
+
+def curation_compaction(spark, sf_dir):
+    """The compaction pass over a deterministic two-crawl corpus: crawl 1
+    is the raw documents table; crawl 2 re-crawls every 5th page with
+    every 7th token dropped (ids +300000) — near-duplicates that pass the
+    exact-only at-ingest index.  Output: the demoted (doc_id,
+    canonical_id, crawl) rows; every planted re-crawl must be demoted to
+    its crawl-1 canonical."""
+    docs = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    recrawl = (docs.where(F.col("doc_id") % 5 == 0)
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.array_join(
+                           F.filter(F.split("text", " "),
+                                    lambda x, i: ((i + 1) % 7) != 0),
+                           " ").alias("text")))
+    corpus = docs.unionByName(recrawl)
+    return (compaction_demotions_df(corpus)
+            .withColumn("crawl",
+                        F.when(F.col("doc_id") >= 300000, F.lit(2))
+                        .otherwise(F.lit(1))))
+
+
+_COMPACT_AUG_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + 300000 AS doc_id,
+         (SELECT string_agg(tok, ' ' ORDER BY i)
+          FROM (SELECT unnest(string_split(d.text, ' ')) AS tok,
+                       generate_subscripts(string_split(d.text, ' '), 1) AS i) u
+          WHERE i % 7 != 0) AS text
+  FROM documents d WHERE d.doc_id % 5 = 0
+)
+"""
+
+ORACLE_COMPACTION = f"""
+WITH RECURSIVE {_COMPACT_AUG_SQL.strip().lstrip()}, {FILTERED_SQL.strip()},
+{_COMPONENT_CTES}
+SELECT doc_id, component_id AS canonical_id,
+       CASE WHEN doc_id >= 300000 THEN 2 ELSE 1 END AS crawl
+FROM comp WHERE component_id != doc_id
 """
 
 
@@ -1079,6 +1171,19 @@ ORACLE_VERDICT = _oracle_verdict()
 
 # --- training split: verdict -> domain cap -> temperature (the endpoint) ----
 
+def materialize_ids(spark, df, tag: str):
+    """Write a (small) id manifest to a parquet table and read it back —
+    the production materialization boundary between pipeline stages
+    (CurationPipeline does the same for its kept corpus: write, then read
+    the committed table).  A fresh directory per call keeps gate/bench
+    invocations independent; at production scale the caller passes its
+    own table path via the pipeline instead."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix=f"nmalign-{tag}-")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def training_split(spark, sf_dir):
     """The full curation pipeline composed into the table a user actually
     trains on: ``curation_verdict`` keeps quality, non-duplicate,
@@ -1100,11 +1205,15 @@ def training_split(spark, sf_dir):
     # The kept-id manifest is consumed by THREE downstream branches (host
     # counts, language counts + global min, final join); without a
     # materialization each branch re-executes the whole verdict stack
-    # (~3x the verdict cost, measured at sf0.1).  The manifest is a
-    # 1-column id list — tiny relative to the corpus — so cache() is the
-    # honest production shape (a real pipeline writes it to a table here).
-    kept = (curation_verdict(spark, sf_dir).where("keep")
-            .select("doc_id").cache())
+    # (~3x the verdict cost, measured at sf0.1).  The manifest is written
+    # to a parquet table and read back — the SAME shape CurationPipeline
+    # uses for its kept corpus (write, then read the committed table), so
+    # the registered query and the pipeline measure one code path and no
+    # executor-storage cache outlives the call (ADVICE r4: the old
+    # .cache() was never unpersisted).
+    kept = materialize_ids(
+        spark, curation_verdict(spark, sf_dir).where("keep")
+        .select("doc_id"), "training-manifest")
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     base = docs.join(kept, "doc_id")
     host_id = F.when(F.col("doc_id") % 4 == 0, F.lit(0)) \
@@ -1177,6 +1286,7 @@ QUERIES = {
     "dedup_simhash": simhash_signatures,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_components": duplicate_components,
+    "curation_compaction": curation_compaction,
     "dedup_span_fraction": span_dup_fraction,
     "dedup_span_removal": span_removal,
     "dedup_lines": line_dedup,
@@ -1193,6 +1303,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_components": ORACLE_COMPONENTS,
+    "curation_compaction": ORACLE_COMPACTION,
     "dedup_span_fraction": ORACLE_SPAN_FRACTION,
     "dedup_span_removal": ORACLE_SPAN_REMOVAL,
     "dedup_lines": ORACLE_LINE_DEDUP,

@@ -16,7 +16,8 @@ plans/pipeline.ExtractionPipeline, same scale design).
   runs (the at-ingest join of ``dedup.incremental_dedup``, here as the
   standing pipeline step).  Near-dup/span tiers are batch-local by
   design — crawl curation runs them per-snapshot; cross-snapshot
-  near-dedup is a periodic compaction job, not an ingest step.
+  near-dedup is the periodic :meth:`CurationPipeline.compact` job, not
+  an ingest step.
 * **Verdict** — :func:`~..operators.dedup.curation_verdict_df` over the
   incoming batch: Gopher gate scan-side, exact-dup window, df-capped
   near-dup components, span fraction, optional benchmark
@@ -38,7 +39,9 @@ import uuid
 from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
-from ..operators.dedup import benchmark_gram_hashes, curation_verdict_df
+from ..operators.dedup import (benchmark_gram_hashes,
+                               compaction_demotions_df, curation_verdict_df,
+                               unpersist_caches)
 
 __all__ = ["CurationPipeline"]
 
@@ -156,6 +159,49 @@ class CurationPipeline:
         self._write(part, "_lineage")
         self._write(rules, "_rules")
         verdict.unpersist()
+        unpersist_caches()  # internal shingle-group/edge caches (dedup.py)
         return {"run_id": run_id, "n_in": n_in, "n_resumed": n_resumed,
                 "n_committed_dup": n_committed_dup, "n_kept": n_kept,
+                "secs": round(time.time() - t0, 2)}
+
+    def compact(self, spark) -> dict:
+        """Periodic cross-snapshot near-dup compaction (the job the ingest
+        path defers to — see module docstring): close the exact/near-dup
+        component graph over the WHOLE committed corpus and drop every
+        non-canonical member, so a near-duplicate of an earlier run's kept
+        doc (invisible to the exact-only at-ingest index and the
+        batch-local verdict) is demoted.  Canonical = min doc_id
+        (operators/dedup.compaction_demotions_df).
+
+        The rewrite is snapshot-replace: the compacted corpus is written
+        beside the live one, then swapped in one directory rename — the
+        plain-parquet stand-in for an Iceberg ``rewrite_data_files`` /
+        REPLACE snapshot commit.  ``_hashes`` keeps the demoted docs'
+        text hashes on purpose: a later re-crawl of a demoted text is
+        still a duplicate and should still be dropped at ingest."""
+        import os
+        import shutil
+        t0 = time.time()
+        corpus = self._read(spark, "corpus")
+        if corpus is None:
+            return {"n_before": 0, "n_dropped": 0, "secs": 0.0}
+        demote = compaction_demotions_df(corpus).select("doc_id")
+        n_before = corpus.count()
+        kept = corpus.join(demote, "doc_id", "left_anti")
+        tmp = f"{self.output_dir}/corpus__compacting"
+        (kept.write.mode("overwrite").partitionBy("lang", "bucket")
+         .parquet(tmp))
+        unpersist_caches()
+        live = f"{self.output_dir}/corpus"
+        old = f"{self.output_dir}/corpus__precompact"
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+        n_after = self._read(spark, "corpus").count()
+        stats = spark.createDataFrame(
+            [(n_before, n_before - n_after)],
+            "n_before long, n_dropped long")
+        self._write(stats.withColumn("compacted_at",
+                                     F.current_timestamp()), "_compactions")
+        return {"n_before": n_before, "n_dropped": n_before - n_after,
                 "secs": round(time.time() - t0, 2)}

@@ -102,6 +102,39 @@ def test_read_failure_is_not_first_run(spark, sf_small, tmp_path):
     assert "PATH_NOT_FOUND" not in str(exc.value)
 
 
+def test_compaction_drops_cross_run_near_dup(spark, sf_small, tmp_path):
+    """A NEAR-duplicate (not exact) of a previous run's kept doc passes
+    the exact-only at-ingest index and the batch-local verdict, lands in
+    the corpus — and the periodic compact() pass must then demote it
+    while keeping the original (VERDICT r4 #5)."""
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, sf_small)
+    first = CurationPipeline(out).run(spark, docs)
+    kept = spark.read.parquet(f"{out}/corpus")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # batch 2: near-dup re-crawls (every 7th token dropped) of the kept
+    # docs under new ids — NOT exact, so the md5 index can't stop them
+    recrawl = (kept.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.filter(F.split("text", " "),
+                              lambda x, i: ((i + 1) % 7) != 0),
+                     " ").alias("text"),
+        "lang"))
+    second = CurationPipeline(out).run(spark, recrawl)
+    assert second["n_committed_dup"] == 0          # ingest index is blind
+    assert second["n_kept"] > 0                    # they land in the corpus
+    stats = CurationPipeline(out).compact(spark)
+    assert stats["n_before"] == first["n_kept"] + second["n_kept"]
+    assert stats["n_dropped"] == second["n_kept"]
+    after = spark.read.parquet(f"{out}/corpus")
+    after_ids = {r.doc_id for r in after.select("doc_id").collect()}
+    assert after_ids == kept_ids                   # originals kept, re-crawls gone
+    # idempotent: a second pass drops nothing
+    assert CurationPipeline(out).compact(spark)["n_dropped"] == 0
+    comps = spark.read.parquet(f"{out}/_compactions")
+    assert comps.count() == 2
+
+
 def test_decontamination_tier_via_bench_df(spark, sf_small, tmp_path):
     out = str(tmp_path / "cur")
     docs = _docs(spark, sf_small)
