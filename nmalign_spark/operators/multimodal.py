@@ -37,17 +37,25 @@ N_MD5_BLOCKS = 8          # payload = 8 chained md5 hex digests = 256 bytes
 
 
 def decode_image(payload: bytes):
-    """Real image decode — STUB.  The container has no imaging library; in
-    production swap in PIL/turbojpeg here.  Everything downstream treats the
-    decode output as an opaque ndarray, so only this function changes."""
+    """Decode an image payload to an RGB ndarray (H, W, 3) — feature-gated:
+    dispatches to PIL the moment a codec is importable, raises
+    NotImplementedError otherwise (this sandbox has no imaging library).
+    Everything downstream treats the decode output as an opaque ndarray,
+    so installing Pillow makes the operator production-real with no other
+    code change; tests cover both the present and absent paths
+    (tests/test_multimodal.py)."""
     try:
-        from PIL import Image  # noqa: F401  (not installed in this sandbox)
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "image codec not available in this environment; "
             "media_features uses the deterministic byte-level fake instead"
         ) from exc
-    raise NotImplementedError("real decode path unreached in sandbox")
+    import io
+
+    import numpy as np
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 # --- the media table (deterministic synthesis, Catalyst-native) --------------

@@ -11,6 +11,7 @@ lookaround, no inline flags.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .relational import sliding_ngrams, t
 
@@ -92,38 +93,96 @@ FROM base
 """
 
 
+LANGID_N = 3      # character n-gram order (Cavnar–Trenkle use 1..5; 3 here)
+LANGID_TOP = 200  # profile size: top-K n-grams per language by doc frequency
+
+
+def _char_ngrams(col):
+    """Distinct lowercase character trigrams of a text column, as a direct
+    substr window per position — the lambda closes over the lowered column
+    reference only (no per-element re-evaluation of a heavy expression,
+    the relational.sliding_ngrams lesson)."""
+    lc = F.lower(col)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length(lc) - (LANGID_N - 1), F.lit(1))),
+        lambda i: lc.substr(i, F.lit(LANGID_N))))
+
+
+def lang_profiles_df(labeled):
+    """Language profiles from a LABELED sample: the LANGID_TOP character
+    trigrams per language by document frequency (Cavnar–Trenkle 1994
+    shape, doc-frequency instead of rank distance so scoring stays one
+    broadcast join + count).  Deterministic tie-break at the profile
+    boundary: (df DESC, trigram ASC) — binary string order in both
+    engines.  The profile is tiny (langs × LANGID_TOP rows): at crawl
+    scale it is built once from a small labeled sample and broadcast."""
+    g = labeled.select("lang", F.explode(_char_ngrams(F.col("text"))).alias("g"))
+    counts = g.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("g"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= LANGID_TOP).select("lang", "g"))
+
+
+def lang_id_df(docs, profiles):
+    """Score (doc_id, text) against broadcast language profiles: count the
+    document's distinct trigrams that hit each profile, argmax with a
+    deterministic tie-break (hits DESC, lang ASC); docs with no profile
+    hit at all get BCP-47 'und'.  Scan-side explode -> broadcast equi-join
+    -> partial-combinable count: no corpus shuffle wider than
+    (doc, candidate-lang) rows."""
+    g = docs.select("doc_id", F.explode(_char_ngrams(F.col("text"))).alias("g"))
+    hits = (g.join(F.broadcast(profiles), "g")
+            .groupBy("doc_id", F.col("lang").alias("cand"))
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("cand"))
+    best = hits.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (docs.select("doc_id")
+            .join(best.select("doc_id", F.col("cand").alias("lang_guess"),
+                              "n_hits"), "doc_id", "left")
+            .na.fill({"lang_guess": "und", "n_hits": 0}))
+
+
 def lang_id(spark, sf_dir):
-    """Stopword-vote language guess (n-gram-free heuristic; deterministic)."""
-    d = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    def _vote(lg):
-        words = _STOP[lg]
-        return F.size(F.filter(toks, lambda x: x.isin(words)))
-
-    votes = {lg: _vote(lg) for lg in _STOP}
-    guess = (F.when((votes["en"] >= votes["de"]) & (votes["en"] >= votes["fr"]), "en")
-             .when(votes["de"] >= votes["fr"], "de")
-             .otherwise("fr"))
-    return d.select("doc_id",
-                    votes["en"].alias("v_en"), votes["de"].alias("v_de"),
-                    votes["fr"].alias("v_fr"), guess.alias("lang_guess"))
-
-
-def _vote_sql(lg):
-    words = "('" + "','".join(_STOP[lg]) + "')"
-    return f"len(list_filter(string_split(lower(text), ' '), x -> x IN {words}))"
+    """Character-trigram-profile language ID (replaces the r1-r4 5-stopword
+    vote): profiles learned from the table's own labels, scoring by
+    profile-hit count.  On the synthetic fixture the labels are
+    content-uncorrelated, so this gate checks the exact two-stage
+    semantics; measured ACCURACY lives in QUALITY.md on a planted
+    multilingual fixture (tests/test_textstats_langid.py)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return lang_id_df(d.select("doc_id", "text"), lang_profiles_df(d))
 
 
 ORACLE_LANGID = f"""
-SELECT doc_id,
-       {_vote_sql('en')} AS v_en,
-       {_vote_sql('de')} AS v_de,
-       {_vote_sql('fr')} AS v_fr,
-       CASE WHEN {_vote_sql('en')} >= {_vote_sql('de')}
-             AND {_vote_sql('en')} >= {_vote_sql('fr')} THEN 'en'
-            WHEN {_vote_sql('de')} >= {_vote_sql('fr')} THEN 'de'
-            ELSE 'fr' END AS lang_guess
-FROM documents
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           range(1, GREATEST(length(lower(text)) - {LANGID_N - 1}, 1) + 1),
+           i -> substr(lower(text), i, {LANGID_N})))) AS g
+  FROM documents),
+prof AS (
+  SELECT lang, g FROM (
+    SELECT lang, g,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, g) AS rn
+    FROM tri GROUP BY lang, g)
+  WHERE rn <= {LANGID_TOP}),
+hits AS (
+  SELECT t.doc_id, p.lang AS cand, COUNT(*) AS n_hits
+  FROM tri t JOIN prof p USING (g)
+  GROUP BY t.doc_id, p.lang),
+best AS (
+  SELECT doc_id, cand, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, cand) AS rn
+  FROM hits)
+SELECT d.doc_id,
+       COALESCE(b.cand, 'und') AS lang_guess,
+       COALESCE(b.n_hits, 0) AS n_hits
+FROM documents d
+LEFT JOIN (SELECT doc_id, cand, n_hits FROM best WHERE rn = 1) b
+       USING (doc_id)
 """
 
 

@@ -99,6 +99,28 @@ def main(sf_dir: str) -> None:
         "structurally weak — the planted row above is the number the "
         "index is tuned on"))
 
+    # -- langid accuracy on the planted multilingual fixture ---------------
+    # (the synthetic documents table's lang labels are content-
+    # uncorrelated, so accuracy is measured on real stopword-heavy
+    # sentences: 4 train / 4 held-out per language, en/de/fr/es)
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_textstats_langid import planted_fixture
+
+    from nmalign_spark.operators.textstats import (LANGID_TOP, lang_id_df,
+                                                   lang_profiles_df)
+    train, test = planted_fixture(spark)
+    guessed = lang_id_df(test.select("doc_id", "text"),
+                         lang_profiles_df(train))
+    truth = {r.doc_id: r.lang for r in test.collect()}
+    hits = [(r.doc_id, r.lang_guess) for r in guessed.collect()]
+    n_ok = sum(truth[d] == g for d, g in hits)
+    rows.append((
+        "text_langid on planted multilingual held-out set",
+        f"{n_ok}/{len(hits)}", n_ok / len(hits),
+        f"char-trigram profiles (top-{LANGID_TOP} by doc frequency, "
+        "Cavnar–Trenkle shape), broadcast join scoring; en/de/fr/es "
+        "sentences, profiles from a disjoint train half"))
+
     # -- curation-stack selectivity (exact rules, per-rule drop counts) ----
     from pyspark.sql import functions as F
     v = dedup.curation_verdict(spark, sf_dir)

@@ -67,6 +67,55 @@ def test_meta_scan_prunes_payload(spark):
     assert "n_chars" in readschema[0] and "doc_id" in readschema[0]
 
 
-def test_decode_stub_is_gated():
+def test_decode_gated_when_codec_absent():
+    """Without an importable PIL the decode raises the documented
+    NotImplementedError (this sandbox ships no imaging library).  If a
+    future environment has Pillow, the dispatch path below covers it."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present: absent-path not testable here")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG....")
+
+
+def test_decode_dispatches_to_pil_when_present(monkeypatch):
+    """The moment a codec is importable, decode_image must return the
+    RGB ndarray PIL produces — proven with a minimal in-memory PIL stand-
+    in so the dispatch contract (open -> convert('RGB') -> asarray, file
+    handle closed) is exercised even in this codec-less sandbox."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeImage:
+        def __init__(self, buf):
+            self.buf = buf
+            self.closed = False
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self.closed = True
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            # 1x N x 3: derived from the payload bytes, shape-checkable
+            data = list(self.buf.getvalue()[:6])
+            return np.array(data, dtype=np.uint8).reshape(1, 2, 3)
+
+        def __array__(self, dtype=None, copy=None):
+            raise AssertionError("asarray must receive convert()'s output")
+
+    fake_image_mod = types.SimpleNamespace(open=_FakeImage)
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    out = mm.decode_image(bytes([10, 20, 30, 40, 50, 60, 99]))
+    assert out.shape == (1, 2, 3) and out.dtype == np.uint8
+    assert out.flatten().tolist() == [10, 20, 30, 40, 50, 60]
