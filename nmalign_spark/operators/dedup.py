@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .relational import fan_out, sliding_ngrams, t
+from .relational import fan_out, sliding_ngram_keys, sliding_ngrams, t
 
 __all__ = ["augmented_docs", "exact_duplicates", "ngram_jaccard_pairs",
            "minhash_lsh_pairs", "simhash_signatures", "duplicate_components",
@@ -159,6 +159,19 @@ def _shingles(aug):
     return (aug.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
 
 
+def _shingles_hashed(aug):
+    """(doc_id, shingle:long) — window grouping keys straight from the
+    rotate-xor fold over per-token xxhash64 (relational.sliding_ngram_keys):
+    no window string is ever built, so the scan stage allocates long
+    arrays instead of k intermediate strings per window.  Drop-in for
+    every consumer that uses the shingle only as a grouping key (the
+    distinct-window and per-window identities are the same as
+    xxhash64(window-text) modulo ~2^-64 collisions)."""
+    keys = sliding_ngram_keys(F.split("text", " "), SHINGLE_K)
+    return aug.select("doc_id",
+                      F.explode(F.array_distinct(keys)).alias("shingle"))
+
+
 SHINGLES_SQL = f"""
 shingles AS (
   SELECT DISTINCT doc_id,
@@ -198,18 +211,30 @@ def _shingle_groups(aug, hash_key: bool = False, carry_minhash: bool = False):
     ``first()`` — they are per-shingle constants.  The md5 is evaluated in
     the scan-stage projection, so the shingle TEXT never reaches a
     shuffle on any path; Catalyst prunes the h1/h2 projection out of the
-    df-count branch, which reads only the key."""
-    sh = _shingles(aug)
-    extra_cols, extra_aggs = [], []
-    if carry_minhash:
-        extra_cols = [
-            F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
-            .cast("long").alias("h1"),
-            F.conv(F.substring(F.md5("shingle"), 8, 7), 16, 10)
-            .cast("long").alias("h2")]
-        extra_aggs = [F.first("h1").alias("h1"), F.first("h2").alias("h2")]
-    key = F.xxhash64("shingle") if hash_key else F.col("shingle")
-    sh = sh.select("doc_id", key.alias("shingle"), *extra_cols)
+    df-count branch, which reads only the key.
+
+    Grouping-ONLY callers (``hash_key=True`` without ``carry_minhash``)
+    get :func:`_shingles_hashed`: the window keys are folded directly
+    from per-token hashes, so not even the scan stage builds window
+    strings.  The minhash path still needs the window text once (its
+    oracle-pinned md5 halves), so it keeps the string windows scan-side
+    and hashes the key from them."""
+    if hash_key and not carry_minhash:
+        sh = _shingles_hashed(aug)
+        extra_cols, extra_aggs = [], []
+    else:
+        sh = _shingles(aug)
+        extra_cols, extra_aggs = [], []
+        if carry_minhash:
+            extra_cols = [
+                F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+                .cast("long").alias("h1"),
+                F.conv(F.substring(F.md5("shingle"), 8, 7), 16, 10)
+                .cast("long").alias("h2")]
+            extra_aggs = [F.first("h1").alias("h1"),
+                          F.first("h2").alias("h2")]
+        key = F.xxhash64("shingle") if hash_key else F.col("shingle")
+        sh = sh.select("doc_id", key.alias("shingle"), *extra_cols)
     keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= STOP_SHINGLE_MAX)
             .select("shingle"))
@@ -684,9 +709,10 @@ def span_dup_fraction(spark, sf_dir):
 
 def span_dup_fraction_df(aug):
     """df-parameterized core of :func:`span_dup_fraction` (used by
-    plans/curation.py).  Shuffles are keyed on xxhash64(shingle) — the
-    per-doc counts never need the shingle text (see _shingle_groups)."""
-    sh = _shingles(aug).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    plans/curation.py).  Shuffles are keyed on the string-free window
+    keys of :func:`_shingles_hashed` — the per-doc counts never need the
+    shingle text, and since r5 the scan never builds it either."""
+    sh = _shingles_hashed(aug)
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (sh.join(dfc, "shingle")
             .groupBy("doc_id")

@@ -63,6 +63,37 @@ def sliding_ngrams(toks, k: int, sep: str = " "):
     return F.when(n >= k, win).otherwise(F.array(F.array_join(toks, sep)))
 
 
+def sliding_ngram_keys(toks, k: int):
+    """64-bit GROUPING KEYS for all length-``k`` sliding windows of the
+    ``toks`` array column — the window text is never materialized.
+
+    Per-token ``xxhash64`` longs are combined positionally with a
+    rotate-13-xor fold (bitwise only, so ANSI-mode Spark cannot overflow;
+    a multiplicative fold throws under the default
+    ``spark.sql.ansi.enabled=true``).  This replaces
+    ``xxhash64(sliding_ngrams(...))``, whose ``k-1`` ``concat_ws`` passes
+    allocate ~k intermediate strings per window — the allocation pressure
+    BENCH_CURATION_ANALYSIS.md localized as the single-box scaling
+    residue of the shingle stages.  The keys are engine-private grouping
+    identities (never in results or oracles — oracles group by the window
+    TEXT, equivalent modulo ~2^-64 collisions, exactly as with the old
+    string hash).  Arrays shorter than ``k`` fold to one whole-array key,
+    matching ``sliding_ngrams``'s GREATEST(n-k+1, 1) semantics via
+    zip_with's null padding."""
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    cnt = F.greatest(n - F.lit(k) + 1, F.lit(1))
+    win = F.slice(th, 1, cnt)
+    for i in range(1, k):
+        win = F.zip_with(
+            win, F.slice(th, i + 1, cnt),
+            lambda a, b: F.when(b.isNull(), a).otherwise(
+                F.shiftleft(a, 13)
+                .bitwiseOR(F.shiftrightunsigned(a, 51))
+                .bitwiseXOR(b)))
+    return win
+
+
 # --- J1: page-ID equi-join (ocrd/cli.py:55-108 zip_input_files) ------------
 
 def j1_page_pairing(spark, sf_dir):

@@ -42,6 +42,21 @@ def test_minhash_has_no_cartesian_product(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_grouping_shingle_paths_build_no_window_strings(spark, sf_small):
+    """r5 invariant: consumers that use shingles only as grouping keys
+    (jaccard / span fraction / components) fold per-token xxhash64 longs
+    (relational.sliding_ngram_keys) — no concat_ws window strings
+    anywhere in the plan, which were the allocation pressure
+    BENCH_CURATION_ANALYSIS.md localized in the shingle stages."""
+    # (duplicate_components shares jaccard's groups but its executed plan
+    # is cut at the pointer-doubling localCheckpoint, so the scan-side
+    # invariant is pinned on the two scan-visible consumers)
+    for q in (dedup.ngram_jaccard_pairs, dedup.span_dup_fraction):
+        plan = _plan(q(spark, sf_small))
+        assert "concat_ws" not in plan, q.__name__
+        assert "xxhash64" in plan, q.__name__
+
+
 def test_minhash_never_shuffles_shingle_text(spark, sf_small):
     """r5 invariant (VERDICT r4 #1): the minhash path reduces every shingle
     to integers (xxhash64 key + md5-half h1/h2) in the SCAN stage, so no
