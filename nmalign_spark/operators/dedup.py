@@ -37,17 +37,18 @@ STOP_SHINGLE_MAX = 50  # shingles in more docs than this are dropped
 JACCARD_MIN = 0.12     # near-dup verification threshold
 
 # MinHash signature: one band per affine mix (a*h1 + b*h2 + c) mod MIX_P of
-# the two 28-bit md5-derived halves of each shingle — a 2-universal family.
-# Every product stays < 2^59 and the sum < 2^61, so the arithmetic is exact
-# signed-64-bit in BOTH engines (DuckDB bigint overflow *throws*; Spark
-# wraps — neither happens).  32 truly-independent bands are needed where the
-# old 16 correlated md5-rotations sat, because recall for a pair at Jaccard
-# j is 1-(1-j)^K: at the planted-near-dup j~0.16, K=32 gives 0.996 (K=16
-# only 0.94).  Extra bands only ADD candidates and every candidate is
-# exact-verified, so precision stays 1.0 by construction.  The triples are
-# fixed literals (seeded once, offline) so Spark and the DuckDB oracle mix
-# identically.
+# the two 30-bit halves of each shingle's 60-bit md5 prefix — a 2-universal
+# family.  Every product stays < 2^61 and the sum < 2^62, so the arithmetic
+# is exact signed-64-bit in BOTH engines (DuckDB bigint overflow *throws*;
+# Spark ANSI mode too — neither happens).  32 truly-independent bands where
+# the old 16 correlated md5-rotations sat, because recall for a pair at
+# Jaccard j is 1-(1-j)^K: at the planted-near-dup j~0.16, K=32 gives 0.996
+# (K=16 only 0.94; measured 245/245 at sf0.01, QUALITY.md).  Extra bands
+# only ADD candidates and every candidate is exact-verified, so precision
+# stays 1.0 by construction.  The triples are fixed literals (seeded once,
+# offline) so Spark and the DuckDB oracle mix identically.
 MIX_P = 2147483647     # 2^31 - 1
+MIX_SPLIT = 1073741824  # 2^30: packed 60-bit hash -> (h div, h mod) halves
 MINHASH_MIXES = [
     (717395972, 227487307, 1317400626), (962475872, 1929947870, 490618751),
     (462240092, 1284645891, 1090413248), (1431529136, 654862387, 1421535055),
@@ -205,13 +206,14 @@ def _shingle_groups(aug, hash_key: bool = False, carry_minhash: bool = False):
     the hottest dedup stages).  Collision odds at 2⁻⁶⁴ are irrelevant to
     the pair semantics.
 
-    ``carry_minhash=True`` additionally projects the two 28-bit halves of
-    ``md5(shingle)`` scan-side (``h1``/``h2``, the inputs of the
-    MINHASH_MIXES affine family) and carries them onto the group row with
-    ``first()`` — they are per-shingle constants.  The md5 is evaluated in
-    the scan-stage projection, so the shingle TEXT never reaches a
-    shuffle on any path; Catalyst prunes the h1/h2 projection out of the
-    df-count branch, which reads only the key.
+    ``carry_minhash=True`` additionally packs the 60-bit md5 prefix of the
+    shingle into ONE long scan-side (``mh``, split into the two 30-bit
+    MINHASH_MIXES inputs after the shuffle) and carries it onto the group
+    row with ``first()`` — a per-shingle constant, one md5+conv per
+    occurrence, 8 extra shuffle bytes.  The md5 is evaluated in the
+    scan-stage projection, so the shingle TEXT never reaches a shuffle on
+    any path; Catalyst prunes the mh projection out of the df-count
+    branch, which reads only the key.
 
     Grouping-ONLY callers (``hash_key=True`` without ``carry_minhash``)
     get :func:`_shingles_hashed`: the window keys are folded directly
@@ -227,12 +229,9 @@ def _shingle_groups(aug, hash_key: bool = False, carry_minhash: bool = False):
         extra_cols, extra_aggs = [], []
         if carry_minhash:
             extra_cols = [
-                F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
-                .cast("long").alias("h1"),
-                F.conv(F.substring(F.md5("shingle"), 8, 7), 16, 10)
-                .cast("long").alias("h2")]
-            extra_aggs = [F.first("h1").alias("h1"),
-                          F.first("h2").alias("h2")]
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                .cast("long").alias("mh")]
+            extra_aggs = [F.first("mh").alias("mh")]
         key = F.xxhash64("shingle") if hash_key else F.col("shingle")
         sh = sh.select("doc_id", key.alias("shingle"), *extra_cols)
     keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -328,16 +327,17 @@ def minhash_lsh_pairs(spark, sf_dir):
     verified with true Jaccard.
 
     Every shingle is reduced to integers IN THE SCAN STAGE — the xxhash64
-    group key plus the two 28-bit md5 halves (h1, h2) — so no shuffle on
-    any stage of this query moves shingle text (8–24-byte long rows where
-    r4 moved ~40-byte strings; the df-count/semi-join/collect exchanges
-    are the engine's hottest).  The k-th band value of a shingle is the
-    affine integer mix (a_k*h1 + b_k*h2 + c_k) mod MIX_P — K multiply-adds
-    replacing r4's K 32-char string rotations, and the per-doc band minima
-    aggregate over longs instead of strings (map-side combinable, a
-    fraction of the comparator and allocation cost).  The mix arithmetic
-    is bit-identical in DuckDB (hex-cast + bigint ops), so the oracle
-    remains an exact twin.
+    group key plus one packed 60-bit md5 prefix (``mh``, one md5+conv per
+    occurrence) — so no shuffle on any stage of this query moves shingle
+    text (16-byte long rows where r4 moved ~40-byte strings; the
+    df-count/semi-join/collect exchanges are the engine's hottest).  The
+    k-th band value of a shingle is the affine integer mix
+    (a_k*h1 + b_k*h2 + c_k) mod MIX_P over the two 30-bit halves of mh —
+    K multiply-adds replacing r4's K 32-char string rotations, and the
+    per-doc band minima aggregate over longs instead of strings (map-side
+    combinable, a fraction of the comparator and allocation cost).  The
+    mix arithmetic is bit-identical in DuckDB (hex-cast + bigint ops,
+    products < 2^61), so the oracle remains an exact twin.
 
     The capped group table is computed ONCE and cached — it feeds both the
     signature stage and the exact-Jaccard verification of the candidates.
@@ -345,7 +345,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     aug = augmented_docs(spark, sf_dir)
     groups = _track_cache(
         _shingle_groups(aug, hash_key=True, carry_minhash=True))
-    sh = groups.select(F.explode("ids").alias("doc_id"), "h1", "h2")
+    sh = groups.select(F.explode("ids").alias("doc_id"),
+                       F.expr(f"mh div {MIX_SPLIT}").alias("h1"),
+                       (F.col("mh") % MIX_SPLIT).alias("h2"))
     # all K band minima in ONE wide aggregation (map-side partial combine,
     # no K-fold row explode through the shuffle), then unpivot to long form
     mins = [F.min((F.col("h1") * a + F.col("h2") * b + c) % MIX_P)
@@ -372,8 +374,8 @@ ORACLE_MINHASH = f"""
 WITH {AUG_SQL}, {FILTERED_SQL},
 halves AS (
   SELECT doc_id,
-         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h1,
-         ('0x' || substr(md5(shingle), 8, 7))::BIGINT AS h2
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT // {MIX_SPLIT} AS h1,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MIX_SPLIT} AS h2
   FROM filtered),
 sig AS (
   SELECT doc_id, k, MIN((h1 * a + h2 * b + c) % {MIX_P}) AS minhash
