@@ -35,13 +35,25 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def make_spark(cpus: int, local_dir: str | None = None):
     from pyspark.sql import SparkSession
-    b = (SparkSession.builder.master(f"local[{cpus}]")
+    # experiment hook (scripts/lc_scratch_experiment.py): run the same
+    # worker under a different cluster manager, e.g.
+    # local-cluster[4,7,12288] = 4 executor JVMs x 7 cores — the closest
+    # one box gets to real multi-executor shuffle topology
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    b = (SparkSession.builder.master(master)
          .appName("nmalign_spark-bench")
          .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "16g")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
          .config("spark.ui.enabled", "false"))
+    if master.startswith("local-cluster"):
+        # executor JVMs are separate processes: size their heap to the
+        # master string's per-worker MB and hand their Python workers the
+        # repo on PYTHONPATH (local[*] inherits the driver's, these don't)
+        mb = master.rstrip("]").split(",")[-1]
+        b = (b.config("spark.executor.memory", f"{mb}m")
+             .config("spark.executorEnv.PYTHONPATH", str(REPO)))
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
     return b.getOrCreate()
@@ -426,8 +438,10 @@ def run_curation_single(cpus: int, sf_dir: str,
     # N->4N efficiency by ~0.15 at 28 writers).  tmpfs stands in for
     # unshared node-local scratch.  The shuffle-FREE align job does not
     # care (BENCH.md uses the default).
-    shm = "/dev/shm/nmalign-spark-scratch"
-    os.makedirs(shm, exist_ok=True)
+    shm = os.environ.get("SPARK_GRAFT_SCRATCH",
+                         "/dev/shm/nmalign-spark-scratch")
+    for d in shm.split(","):  # may be a list of separate scratch mounts
+        os.makedirs(d, exist_ok=True)
     spark = make_spark(cpus, local_dir=shm)
     spark.range(10).count()
     _warm_python_workers(spark, cpus)
@@ -551,7 +565,8 @@ def main():
             "# BENCH_CURATION — curation-verdict throughput & scaling\n\n"
             f"Input: replicated documents parquet derived from `{SF_DIR}` "
             f"(replicate={CUR_REP}, {res['levels'][lo]['n_docs']} docs, 256 "
-            "files — an exact re-crawl profile, so the dedup tiers do real "
+            "files — shingle-disjoint shards, constant duplicate density, "
+            "so the dedup tiers do real "
             "work), full stacked verdict (Gopher scan-side, exact-dup "
             "window, df-capped near-dup components, span fraction) -> "
             "count; fresh JVM per level, warmup excluded; same loaded-host "
