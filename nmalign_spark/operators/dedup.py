@@ -185,26 +185,30 @@ shingles AS (
 def _shingle_groups(aug, hash_key: bool = False, carry_minhash: bool = False):
     """(shingle, sorted ids array) with the stop-shingle cap applied.
 
-    Two passes over the exploded shingle table so that NO aggregation ever
-    holds unbounded per-key state: document frequency first, as a map-side-
-    combinable ``groupBy(shingle).count`` (partial state = one long per
-    shingle per task, regardless of skew); then the exploded table is
-    LEFT-SEMI-joined against the ``df <= cap`` survivors — a keyed equi-join,
-    so a hot boilerplate shingle is the AQE skew-join case, split at
-    runtime — and only the provably ≤cap-element groups are collected into
-    posting arrays.  The previous single-pass shape (collect_list THEN
-    filter on size) was green at sf0.1 but a crawl-scale stop shingle
-    ("click here to read more…", df ~10^8) would accumulate a 10^8-element
-    list in one task before the cap could discard it.  Near-dup candidate
-    pairs are still generated *inside* each group row with array ops
-    (≤ C(cap,2) = 1225 pairs per shingle, bounded), never via a self-join of
-    the exploded table.
+    ONE exchange over the exploded shingle table, and NO aggregation ever
+    holds unbounded per-key state: occurrences are ranked per shingle with
+    a ``row_number`` window and cut at cap+1 BEFORE the posting-list
+    collect, so a group reaching cap+1 rows is provably over-df and the
+    size filter drops it — identical semantics to an exact df-count
+    prefilter.  The groupBy reuses the window's hashpartitioning (no
+    second exchange) and collects ≤cap+1 rows per key.  The naive
+    single-pass shape (collect_list THEN filter on size) was green at
+    sf0.1 but a crawl-scale stop shingle ("click here to read more…",
+    df ~10^8) would accumulate a 10^8-element list in one aggregation
+    task; under the window that key streams through a spillable row
+    buffer instead.  (An r4 interim shape ran an exact df-count pass +
+    LEFT-SEMI join — equally bounded, but it evaluated the expensive
+    shingle explode under two separate exchanges plus a join: measured
+    19.6 s vs 10.6 s on the components edge stage at sf0.1.)  Near-dup
+    candidate pairs are still generated *inside* each group row with
+    array ops (≤ C(cap,2) = 1225 pairs per shingle, bounded), never via a
+    self-join of the exploded table.
 
     ``hash_key=True`` replaces the shingle string with ``xxhash64`` before
-    any shuffle: the df-count, semi-join, and collect exchanges then move
-    8-byte longs instead of ~40-byte strings (~75% less shuffle volume on
-    the hottest dedup stages).  Collision odds at 2⁻⁶⁴ are irrelevant to
-    the pair semantics.
+    any shuffle: the window and collect exchanges then move 8-byte longs
+    instead of ~40-byte strings (~75% less shuffle volume on the hottest
+    dedup stages).  Collision odds at 2⁻⁶⁴ are irrelevant to the pair
+    semantics.
 
     ``carry_minhash=True`` additionally packs the 60-bit md5 prefix of the
     shingle into ONE long scan-side (``mh``, split into the two 30-bit
@@ -212,8 +216,7 @@ def _shingle_groups(aug, hash_key: bool = False, carry_minhash: bool = False):
     row with ``first()`` — a per-shingle constant, one md5+conv per
     occurrence, 8 extra shuffle bytes.  The md5 is evaluated in the
     scan-stage projection, so the shingle TEXT never reaches a shuffle on
-    any path; Catalyst prunes the mh projection out of the df-count
-    branch, which reads only the key.
+    any path.
 
     Grouping-ONLY callers (``hash_key=True`` without ``carry_minhash``)
     get :func:`_shingles_hashed`: the window keys are folded directly
@@ -234,13 +237,28 @@ def _shingle_groups(aug, hash_key: bool = False, carry_minhash: bool = False):
             extra_aggs = [F.first("mh").alias("mh")]
         key = F.xxhash64("shingle") if hash_key else F.col("shingle")
         sh = sh.select("doc_id", key.alias("shingle"), *extra_cols)
-    keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= STOP_SHINGLE_MAX)
-            .select("shingle"))
-    return (sh.join(keep, "shingle", "left_semi")
-            .groupBy("shingle")
+    # ONE exchange, still cap-bounded: rank occurrences per shingle with a
+    # streaming row_number window and keep only the first cap+1 — a group
+    # that reaches cap+1 rows is PROVABLY over-df and is dropped by the
+    # size filter below, identically to an exact df-count prefilter.  The
+    # follow-up groupBy reuses the window's hashpartitioning (no second
+    # exchange) and aggregates ≤cap+1 rows per key, so no aggregation
+    # state is ever unbounded.  This replaces the r4 df-count + LEFT-SEMI
+    # shape, which was equally bounded but evaluated the shingle explode —
+    # the most expensive stage of every dedup query (interpreted HOF eval;
+    # lambda expressions never enter whole-stage codegen) — under TWO
+    # separate exchanges plus a join (measured: r4 shape 19.6 s vs 10.6 s
+    # for the edge stage of dedup_components at sf0.1, this shape returns
+    # to the one-pass cost).  A crawl-scale stop shingle (df ~10^8) spills
+    # its window buffer to executor disk past 4096 rows instead of OOMing
+    # an aggregation task, and only rows 1..cap+1 survive the filter.
+    w = Window.partitionBy("shingle").orderBy("doc_id")
+    ranked = (sh.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= STOP_SHINGLE_MAX + 1))
+    return (ranked.groupBy("shingle")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"),
-                 *extra_aggs))
+                 *extra_aggs)
+            .where(F.size("ids") <= STOP_SHINGLE_MAX))
 
 
 def _filtered_shingles(groups):

@@ -18,22 +18,28 @@ def _plan(df) -> str:
 
 
 def test_shingle_groups_caps_state_before_collect(spark, sf_small):
-    """The df-count + LEFT-SEMI filter must run BEFORE the posting-list
+    """The cap+1 row_number cut must run BELOW the posting-list
     collect_list, so no aggregation key ever holds more than
-    STOP_SHINGLE_MAX elements of state (the r3 scale-killer, VERDICT r3
-    item 2)."""
+    STOP_SHINGLE_MAX+1 elements of state (the r3 scale-killer, VERDICT r3
+    item 2; the r5 one-exchange shape — a streaming, disk-spillable
+    window replaces the r4 df-count + LEFT-SEMI double pass)."""
     groups = dedup._shingle_groups(dedup.augmented_docs(spark, sf_small))
     plan = _plan(groups)
     assert "collect_list" in plan
-    # the ObjectHashAggregate(collect_list) must consume a LeftSemi join
-    # (its child subtree), i.e. the join appears BELOW the collect agg
+    # the row_number window (and its rn <= cap+1 filter) must sit BELOW
+    # the collect aggregate in the tree (appear later in the printout)
     collect_pos = plan.index("collect_list")
-    semi_pos = plan.index("LeftSemi")
-    assert semi_pos > collect_pos, (
-        "LeftSemi df-cap filter is not below the collect_list aggregate; "
+    win_pos = plan.index("row_number")
+    assert win_pos > collect_pos, (
+        "row_number df-cap cut is not below the collect_list aggregate; "
         "posting-list state is unbounded again")
-    # and the semi join's build side is the count aggregate
-    assert "count(1)" in plan or "count(" in plan
+    assert f"rn#" in plan and f"<= {dedup.STOP_SHINGLE_MAX + 1}" in plan
+    # ONE exchange total: the groupBy must reuse the window's
+    # hashpartitioning instead of re-shuffling
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, (
+        f"expected a single shuffle in the groups plan, found "
+        f"{n_exchanges}")
 
 
 def test_minhash_has_no_cartesian_product(spark, sf_small):
