@@ -139,3 +139,21 @@ def test_minhash_recall_vs_exact_twin(spark, sf_small):
            dedup.minhash_lsh_pairs(spark, sf_small).collect()}
     assert lsh <= exact                      # precision 1.0
     assert len(lsh) / len(exact) >= 0.97     # recall
+
+
+def test_shingle_group_cap_boundary_exact(spark):
+    """The one-exchange row_number cap must keep a shingle at df == cap
+    (all ids present) and drop one at df == cap+1 entirely — identical to
+    an exact document-frequency prefilter (the r4 df-count + LEFT-SEMI
+    shape this replaced)."""
+    from nmalign_spark.operators import dedup
+
+    k, cap = dedup.SHINGLE_K, dedup.STOP_SHINGLE_MAX
+    common = "alpha beta gamma delta epsilon"          # one k=5 shingle
+    over = "zeta eta theta iota kappa"                 # another
+    rows = [(i, common) for i in range(cap)]           # df == cap -> kept
+    rows += [(1000 + i, over) for i in range(cap + 1)]  # df == cap+1 -> gone
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = dedup._shingle_groups(df, hash_key=True).collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == sorted(r[0] for r in rows[:cap])
