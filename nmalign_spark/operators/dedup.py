@@ -733,9 +733,15 @@ def span_dup_fraction_df(aug):
     keys of :func:`_shingles_hashed` — the per-doc counts never need the
     shingle text, and since r5 the scan never builds it either."""
     sh = _shingles_hashed(aug)
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return (sh.join(dfc, "shingle")
-            .groupBy("doc_id")
+    # per-occurrence df via a partition-only window: ONE evaluation of the
+    # shingle explode and two exchanges (shingle, then doc_id), where the
+    # previous df-count + join-back shape evaluated the explode twice
+    # under three exchanges.  No df cap applies here by design (span
+    # fraction counts stop shingles too); a crawl-scale hot key streams
+    # through WindowExec's spillable row buffer.
+    w = Window.partitionBy("shingle")
+    per = sh.withColumn("df", F.count(F.lit(1)).over(w))
+    return (per.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shingles"),
                  F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_shingles"),
                  F.round(F.sum((F.col("df") >= 2).cast("long"))
