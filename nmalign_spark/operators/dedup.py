@@ -783,10 +783,10 @@ def span_removal(spark, sf_dir):
     every occurrence, while the boundary grams straddling original text
     and slogan are unique per doc and must NOT widen the removal.
 
-    Scale shape: gram occurrence counting is a map-side-combinable
-    ``groupBy(md5(gram)).count`` — shuffles 32-char hashes, never gram
-    text, partial state one long per gram per task; the dup filter is a
-    keyed equi-join where hot boilerplate grams are the AQE skew case;
+    Scale shape: gram occurrence counting is a partition-only window over
+    ``md5(gram)`` — one exchange of 32-char hashes (never gram text), one
+    evaluation of the gram explode, a hot boilerplate gram streaming
+    through WindowExec's spillable buffer;
     coverage fan-out is a bounded ×K explode of ONLY the duplicated
     occurrences (sparse in a curated corpus); the position-level
     left join and the final rebuild group are keyed on (doc_id, pos) /
@@ -805,8 +805,12 @@ def span_removal(spark, sf_dir):
         F.posexplode(sliding_ngrams(F.col("l"), SHINGLE_K))
         .alias("gpos", "gram"))
         .select("doc_id", "n", "gpos", F.md5("gram").alias("h")))
-    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
-    dup = grams.join(cnt.where(F.col("occ") >= 2), "h")
+    # per-occurrence count via a partition-only window (same one-explode
+    # rewrite as span_dup_fraction_df): the previous groupBy(h).count +
+    # join-back evaluated the gram explode twice under three exchanges
+    dup = (grams.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("occ") >= 2))
     covered = (dup.select(
         "doc_id",
         F.explode(F.sequence(
